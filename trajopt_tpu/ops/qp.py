@@ -1,0 +1,348 @@
+"""Batched dense ADMM QP solver (OSQP-equivalent) for TPU.
+
+Solves   minimize    0.5 x'Px + q'x
+         subject to  l <= A x <= u
+
+with the OSQP ADMM splitting (Stellato et al., "OSQP: An Operator Splitting
+Solver for Quadratic Programs").  This is the TPU-native replacement for the
+reference's OSQP backend (reference behavior contract:
+trajopt_sco/src/osqp_interface.cpp:78-90 — eps_abs 1e-4 / eps_rel 1e-6,
+max_iter 8192, adaptive rho).
+
+Design notes (TPU-first):
+- Dense, fixed-shape (n, m) per problem class; batching via ``jax.vmap`` turns
+  every matvec into an MXU matmul and every Cholesky into a batched Cholesky.
+- Linear system solved via Cholesky of the reduced matrix
+      M = P + sigma*I + A' diag(rho) A           (n x n, SPD)
+  with one step of iterative refinement so float32 on TPU reaches the
+  reference's accuracy contract; float64 paths work unchanged on CPU.
+- Ruiz equilibration + cost scaling exactly as OSQP (10 iterations).
+- Adaptive rho on a *fixed* schedule (every ``adaptive_rho_interval``
+  iterations) so all vmapped lanes refactorize together — no divergent
+  control flow on device.
+- Control flow: outer `lax.while_loop` over segments of ``check_interval``
+  ADMM iterations; converged lanes are masked out (their iterates frozen).
+
+All functions are pure and jit/vmap/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Large-but-finite stand-in for +/- infinity in bounds (OSQP uses 1e30).
+OSQP_INFTY = 1e20
+
+# QP status codes (kept small ints so they live in device arrays).
+QP_UNSOLVED = 0
+QP_SOLVED = 1
+QP_SOLVED_INACCURATE = 2
+QP_MAX_ITER = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class QPSettings:
+    """Static solver settings (hashable; safe as a jit static arg).
+
+    Defaults mirror the reference OSQP configuration
+    (trajopt_sco/src/osqp_interface.cpp:78-90).
+    """
+
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3  # rho multiplier on equality rows (l == u)
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-6
+    max_iter: int = 4000
+    check_interval: int = 25
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 100
+    adaptive_rho_tol: float = 5.0  # only change rho if ratio exceeds this
+    scaling_iters: int = 10
+    refine_steps: int = 1  # iterative-refinement steps on each KKT solve
+
+
+class QPData(NamedTuple):
+    """One QP in OSQP form. Batched by adding leading axes + vmap."""
+
+    P: jax.Array  # (n, n) symmetric PSD
+    q: jax.Array  # (n,)
+    A: jax.Array  # (m, n)
+    l: jax.Array  # (m,)  use -OSQP_INFTY for unbounded below
+    u: jax.Array  # (m,)  use +OSQP_INFTY for unbounded above
+
+
+class QPSolution(NamedTuple):
+    x: jax.Array  # (n,) primal solution
+    z: jax.Array  # (m,) constraint-space projection A x
+    y: jax.Array  # (m,) dual solution
+    status: jax.Array  # () int32, QP_* code
+    iters: jax.Array  # () int32 ADMM iterations executed
+    prim_res: jax.Array  # () unscaled primal residual (inf-norm)
+    dual_res: jax.Array  # () unscaled dual residual (inf-norm)
+    obj: jax.Array  # () objective value 0.5 x'Px + q'x
+
+
+class _Scaling(NamedTuple):
+    d: jax.Array  # (n,) primal scaling diag
+    e: jax.Array  # (m,) constraint scaling diag
+    c: jax.Array  # () cost scaling
+
+
+def _inf_norm_cols(M: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(M), axis=0)
+
+
+def ruiz_equilibrate(data: QPData, iters: int) -> tuple[QPData, _Scaling]:
+    """Ruiz equilibration of [[P, A'], [A, 0]] + OSQP cost scaling.
+
+    Returns the scaled QPData and the scaling diagonals needed to unscale.
+    """
+    n = data.q.shape[0]
+    m = data.l.shape[0]
+    dt = data.q.dtype
+
+    def body(_, carry):
+        P, q, A, l, u, d, e, c = carry
+        # column inf-norms of the scaled KKT matrix
+        norm_x = jnp.maximum(_inf_norm_cols(P), _inf_norm_cols(A))  # (n,)
+        norm_z = jnp.max(jnp.abs(A), axis=1)  # (m,) col-norms of A' block
+        gx = jnp.where(norm_x > 1e-12, 1.0 / jnp.sqrt(norm_x), 1.0)
+        gz = jnp.where(norm_z > 1e-12, 1.0 / jnp.sqrt(norm_z), 1.0)
+        P = gx[:, None] * P * gx[None, :]
+        A = gz[:, None] * A * gx[None, :]
+        q = gx * q
+        l = gz * l
+        u = gz * u
+        d = d * gx
+        e = e * gz
+        # cost scaling (OSQP): gamma = 1/max(mean col norm of P, ||q||_inf)
+        pc = jnp.mean(_inf_norm_cols(P))
+        qn = jnp.max(jnp.abs(q)) if n > 0 else jnp.asarray(0.0, dt)
+        denom = jnp.maximum(jnp.maximum(pc, qn), 1e-12)
+        gamma = 1.0 / denom
+        P = P * gamma
+        q = q * gamma
+        c = c * gamma
+        return (P, q, A, l, u, d, e, c)
+
+    # Keep scaled l/u finite-aware: infinities stay infinite under scaling, but
+    # since we encode them as +-OSQP_INFTY, rescaling keeps them huge; clamp
+    # back so they remain sentinel-sized.
+    init = (
+        data.P,
+        data.q,
+        data.A,
+        data.l,
+        data.u,
+        jnp.ones((n,), dt),
+        jnp.ones((m,), dt),
+        jnp.asarray(1.0, dt),
+    )
+    P, q, A, l, u, d, e, c = jax.lax.fori_loop(0, iters, body, init)
+    l = jnp.clip(l, -OSQP_INFTY, OSQP_INFTY)
+    u = jnp.clip(u, -OSQP_INFTY, OSQP_INFTY)
+    return QPData(P, q, A, l, u), _Scaling(d, e, c)
+
+
+def _rho_vec(l: jax.Array, u: jax.Array, rho: jax.Array, s: QPSettings) -> jax.Array:
+    """Per-row rho: equality rows get rho * rho_eq_scale (OSQP convention)."""
+    is_eq = (u - l) < 1e-9
+    loose = (l <= -OSQP_INFTY * 0.9) & (u >= OSQP_INFTY * 0.9)
+    rv = jnp.where(is_eq, rho * s.rho_eq_scale, rho)
+    rv = jnp.where(loose, rho * 0.1, rv)
+    return jnp.clip(rv, s.rho_min, s.rho_max)
+
+
+def _factorize(P, A, rho_vec, sigma):
+    n = P.shape[1]
+    M = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho_vec[None, :]) @ A
+    return jnp.linalg.cholesky(M)  # lower-triangular factor
+
+
+def _cho_solve(L, rhs):
+    w = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L, w, lower=True, trans=1)
+
+
+def _kkt_solve(chol, P, A, rho_vec, sigma, rhs, refine_steps):
+    """Solve (P + sigma I + A' R A) d = rhs with iterative refinement."""
+    d = _cho_solve(chol, rhs)
+
+    def refine(_, d):
+        r = rhs - (P @ d + sigma * d + A.T @ (rho_vec * (A @ d)))
+        return d + _cho_solve(chol, r)
+
+    if refine_steps > 0:
+        d = jax.lax.fori_loop(0, refine_steps, refine, d)
+    return d
+
+
+class _AdmmState(NamedTuple):
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    rho: jax.Array  # () scalar base rho
+    chol: jax.Array  # (n, n) lower Cholesky factor of the reduced KKT matrix
+    it: jax.Array  # () int32
+    status: jax.Array  # () int32
+    prim_res: jax.Array
+    dual_res: jax.Array
+
+
+def solve_qp(
+    data: QPData,
+    settings: QPSettings = QPSettings(),
+    x0: Optional[jax.Array] = None,
+    y0: Optional[jax.Array] = None,
+) -> QPSolution:
+    """Solve one QP (vmap over a leading batch axis for many).
+
+    Warm starting: pass ``x0``/``y0`` from a previous related solve
+    (the reference warm-starts between SQP convexifications,
+    trajopt_sco/src/osqp_interface.cpp:336-369).
+    """
+    return _solve_qp(data, settings, x0, y0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _solve_qp(data, settings, x0, y0):
+    s = settings
+    n = data.q.shape[0]
+    m = data.l.shape[0]
+    dt = data.q.dtype
+
+    # l <= u guard (OSQP errors; we clamp)
+    data = data._replace(u=jnp.maximum(data.u, data.l))
+
+    sdata, scal = ruiz_equilibrate(data, s.scaling_iters)
+    P, q, A, l, u = sdata
+
+    x = jnp.zeros((n,), dt) if x0 is None else x0 / scal.d
+    y = jnp.zeros((m,), dt) if y0 is None else y0 * scal.c / scal.e
+    z = jnp.clip(A @ x, l, u)
+
+    rho0 = jnp.asarray(s.rho, dt)
+    rv0 = _rho_vec(l, u, rho0, s)
+    chol0 = _factorize(P, A, rv0, s.sigma)
+
+    big = jnp.asarray(jnp.inf, dt)
+    state = _AdmmState(
+        x, z, y, rho0, chol0, jnp.int32(0), jnp.int32(QP_UNSOLVED), big, big
+    )
+
+    def admm_iter(_, carry):
+        x, z, y, rho_vec, chol = carry
+        rhs = s.sigma * x - q + A.T @ (rho_vec * z - y)
+        xt = _kkt_solve(chol, P, A, rho_vec, s.sigma, rhs, s.refine_steps)
+        zt = A @ xt
+        x1 = s.alpha * xt + (1 - s.alpha) * x
+        z_cand = s.alpha * zt + (1 - s.alpha) * z
+        z1 = jnp.clip(z_cand + y / rho_vec, l, u)
+        y1 = y + rho_vec * (z_cand - z1)
+        return (x1, z1, y1, rho_vec, chol)
+
+    def unscaled_residuals(x, z, y):
+        # Unscale: x_u = D x, z_u = E^-1 z, y_u = E y / c
+        xu = scal.d * x
+        zu = z / scal.e
+        yu = scal.e * y / scal.c
+        Axu = (data.A @ xu)
+        Pxu = data.P @ xu
+        ATyu = data.A.T @ yu
+        rp = jnp.max(jnp.abs(Axu - zu)) if m > 0 else jnp.asarray(0.0, dt)
+        rd = jnp.max(jnp.abs(Pxu + data.q + ATyu))
+        eps_p = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Axu)) if m > 0 else 0.0,
+            jnp.max(jnp.abs(zu)) if m > 0 else 0.0,
+        )
+        eps_d = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Pxu)), jnp.max(jnp.abs(data.q))),
+            jnp.max(jnp.abs(ATyu)) if m > 0 else 0.0,
+        )
+        return rp, rd, eps_p, eps_d
+
+    n_segments = -(-s.max_iter // s.check_interval)
+
+    def cond(st: _AdmmState):
+        return (st.status == QP_UNSOLVED) & (st.it < s.max_iter)
+
+    def body(st: _AdmmState):
+        rho_vec = _rho_vec(l, u, st.rho, s)
+        x, z, y, _, _ = jax.lax.fori_loop(
+            0, s.check_interval, admm_iter, (st.x, st.z, st.y, rho_vec, st.chol)
+        )
+        it = st.it + s.check_interval
+        rp, rd, eps_p, eps_d = unscaled_residuals(x, z, y)
+        converged = (rp <= eps_p) & (rd <= eps_d)
+        status = jnp.where(converged, jnp.int32(QP_SOLVED), st.status)
+
+        # adaptive rho on the fixed schedule (skip if already converged)
+        do_adapt = (
+            jnp.asarray(s.adaptive_rho)
+            & (it % s.adaptive_rho_interval == 0)
+            & ~converged
+        )
+        # scaled residual ratio (OSQP adapts on scaled residuals)
+        srp = jnp.max(jnp.abs(A @ x - z)) if m > 0 else jnp.asarray(0.0, dt)
+        srd = jnp.max(jnp.abs(P @ x + q + A.T @ y))
+        nrp = srp / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(A @ x)), jnp.max(jnp.abs(z))), 1e-12
+        )
+        nrd = srd / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(P @ x + q)), jnp.max(jnp.abs(A.T @ y))),
+            1e-12,
+        )
+        rho_new = jnp.clip(
+            st.rho * jnp.sqrt(nrp / jnp.maximum(nrd, 1e-12)), s.rho_min, s.rho_max
+        )
+        big_change = (rho_new > st.rho * s.adaptive_rho_tol) | (
+            rho_new < st.rho / s.adaptive_rho_tol
+        )
+        rho = jnp.where(do_adapt & big_change, rho_new, st.rho)
+        # Refactorize with the (possibly) new rho.  Under vmap this runs every
+        # segment boundary for all lanes — intentional, keeps lanes in lockstep.
+        new_rv = _rho_vec(l, u, rho, s)
+        chol = _factorize(P, A, new_rv, s.sigma)
+        return _AdmmState(x, z, y, rho, chol, it, status, rp, rd)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    status = jnp.where(
+        final.status == QP_UNSOLVED,
+        # hit max_iter: usable but inaccurate unless residuals are wild
+        jnp.where(
+            (final.prim_res < 1e-2) & (final.dual_res < 1e-2),
+            jnp.int32(QP_SOLVED_INACCURATE),
+            jnp.int32(QP_MAX_ITER),
+        ),
+        final.status,
+    )
+    xu = scal.d * final.x
+    zu = final.z / scal.e
+    yu = scal.e * final.y / scal.c
+    obj = 0.5 * xu @ (data.P @ xu) + data.q @ xu
+    return QPSolution(
+        xu, zu, yu, status, final.it, final.prim_res, final.dual_res, obj
+    )
+
+
+def solve_qp_batch(
+    data: QPData,
+    settings: QPSettings = QPSettings(),
+    x0: Optional[jax.Array] = None,
+    y0: Optional[jax.Array] = None,
+) -> QPSolution:
+    """vmapped batch solve; every leaf of ``data`` has a leading batch axis."""
+    fn = lambda d, xx, yy: _solve_qp(d, settings, xx, yy)
+    in_x = None if x0 is None else 0
+    in_y = None if y0 is None else 0
+    return jax.vmap(fn, in_axes=(0, in_x, in_y))(data, x0, y0)
