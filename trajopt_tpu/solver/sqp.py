@@ -1,0 +1,508 @@
+"""Trust-region penalty SQP engine as a masked device loop.
+
+This is the TPU-native re-design of the reference's core algorithm
+(``BasicTrustRegionSQP::optimize``, trajopt_sco/src/optimizers.cpp:694-986 and
+its modern twin ``TrustRegionSQPSolver::solve``,
+trajopt_sqp/src/trust_region_sqp_solver.cpp:87-159):
+
+    penalty loop  (merit coeff x10, <= max_merit_coeff_increases)
+      SQP loop    (convexify at x, <= max_iter accepted steps)
+        trust loop (solve QP in box; accept/shrink via merit-improvement ratio)
+
+The three nested loops are *flattened* into a single ``lax.while_loop`` whose
+body performs exactly one QP solve — the shape every reference iteration has.
+Because a trust-region shrink re-solves with an identical convexification,
+flattening preserves the reference's iterate sequence exactly while giving a
+single static loop body that vmaps across thousands of problem instances
+(divergent per-problem progress is handled by vmap's automatic masking).
+
+Merit bookkeeping matches ``BasicTrustRegionSQPResults::update``
+(optimizers.cpp:375-421): merit(x) = sum(costs) + dot(merit_coeffs, viols);
+constraints enter the QP as L1/hinge penalty terms with slack variables
+(``cntsToCosts``, optimizers.cpp:58-80) whose weights are the per-constraint
+merit coefficients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qp import OSQP_INFTY, QPData, QPSolution, _solve_qp
+from ..terms.base import Term, TermKind
+from .types import (
+    CONVERGED,
+    FAILED,
+    PENALTY_ITERATION_LIMIT,
+    RUNNING,
+    SCO_ITERATION_LIMIT,
+    ProblemData,
+    ProblemSpec,
+    SQPParams,
+    SQPResult,
+)
+
+
+# --------------------------------------------------------------------------
+# Static row plan
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class _Plan:
+    """Trace-time grouping of terms into QP row blocks."""
+
+    spec: ProblemSpec
+    sq: tuple  # [(cost_idx, term, row_start)]
+    gen: tuple  # [(cost_idx, term)]
+    hin: tuple  # [(cost_idx, term, row_start)] hinge costs first in h-block
+    ineq: tuple  # [(cnt_idx, term, row_start)] then ineq cnts
+    ab: tuple  # [(cost_idx, term, row_start)] abs costs first in a-block
+    eq: tuple  # [(cnt_idx, term, row_start)] then eq cnts
+    m_sq: int
+    m_h: int
+    m_a: int
+
+
+def _plan(spec: ProblemSpec) -> _Plan:
+    sq, gen, hin, ab = [], [], [], []
+    off = 0
+    for i, t in enumerate(spec.cost_terms):
+        if t.kind == TermKind.SQUARED:
+            sq.append((i, t, off))
+            off += t.n_rows
+    m_sq = off
+    for i, t in enumerate(spec.cost_terms):
+        if t.kind == TermKind.GENERIC:
+            gen.append((i, t))
+    off = 0
+    for i, t in enumerate(spec.cost_terms):
+        if t.kind == TermKind.HINGE:
+            hin.append((i, t, off))
+            off += t.n_rows
+    ineq = []
+    for j, t in enumerate(spec.cnt_terms):
+        if t.kind == TermKind.INEQ:
+            ineq.append((j, t, off))
+            off += t.n_rows
+    m_h = off
+    off = 0
+    for i, t in enumerate(spec.cost_terms):
+        if t.kind == TermKind.ABS:
+            ab.append((i, t, off))
+            off += t.n_rows
+    eq = []
+    for j, t in enumerate(spec.cnt_terms):
+        if t.kind == TermKind.EQ:
+            eq.append((j, t, off))
+            off += t.n_rows
+    m_a = off
+    return _Plan(spec, tuple(sq), tuple(gen), tuple(hin), tuple(ineq),
+                 tuple(ab), tuple(eq), m_sq, m_h, m_a)
+
+
+# --------------------------------------------------------------------------
+# Convexification
+# --------------------------------------------------------------------------
+
+
+class _Cvx(NamedTuple):
+    """Dense convex model at the linearization point x."""
+
+    err_sq: jax.Array  # (m_sq,)
+    J_sq: jax.Array  # (m_sq, n_x)
+    w_sq: jax.Array  # (m_sq,)
+    err_h: jax.Array  # (m_h,)
+    J_h: jax.Array  # (m_h, n_x)
+    w_h_cost: jax.Array  # (m_h,) cost weights; merit rows hold 1.0 here
+    err_a: jax.Array  # (m_a,)
+    J_a: jax.Array  # (m_a, n_x)
+    w_a_cost: jax.Array  # (m_a,)
+    gen_f0: jax.Array  # (n_gen,)
+    gen_g: jax.Array  # (n_gen, n_x)
+    gen_H: jax.Array  # (n_gen, n_x, n_x) PSD-projected
+
+
+def _psd_project(H: jax.Array) -> jax.Array:
+    """Keep only positive eigenvalues (reference modeling_utils.cpp:79-88)."""
+    w, V = jnp.linalg.eigh(0.5 * (H + H.T))
+    w = jnp.maximum(w, 0.0)
+    return (V * w[None, :]) @ V.T
+
+
+def _rows(blocks, n_rows_total, n_x, dtype):
+    if n_rows_total == 0:
+        return (jnp.zeros((0,), dtype), jnp.zeros((0, n_x), dtype),
+                jnp.zeros((0,), dtype))
+    errs, jacs, ws = zip(*blocks)
+    return jnp.concatenate(errs), jnp.concatenate(jacs), jnp.concatenate(ws)
+
+
+def _convexify(plan: _Plan, data: ProblemData, x: jax.Array) -> _Cvx:
+    n_x = plan.spec.n_x
+    dt = x.dtype
+    sq_blocks, h_blocks, a_blocks = [], [], []
+    for i, t, _ in plan.sq:
+        p = data.cost_params[i]
+        sq_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
+    for i, t, _ in plan.hin:
+        p = data.cost_params[i]
+        h_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
+    for j, t, _ in plan.ineq:
+        p = data.cnt_params[j]
+        h_blocks.append((t.err(x, p), t.jac(x, p), jnp.ones((t.n_rows,), dt)))
+    for i, t, _ in plan.ab:
+        p = data.cost_params[i]
+        a_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
+    for j, t, _ in plan.eq:
+        p = data.cnt_params[j]
+        a_blocks.append((t.err(x, p), t.jac(x, p), jnp.ones((t.n_rows,), dt)))
+
+    err_sq, J_sq, w_sq = _rows(sq_blocks, plan.m_sq, n_x, dt)
+    err_h, J_h, w_h = _rows(h_blocks, plan.m_h, n_x, dt)
+    err_a, J_a, w_a = _rows(a_blocks, plan.m_a, n_x, dt)
+
+    n_gen = len(plan.gen)
+    if n_gen:
+        f0s, gs, Hs = [], [], []
+        for i, t in plan.gen:
+            p = data.cost_params[i]
+            f = lambda xx, tt=t, pp=p: tt.err(xx, pp)
+            f0s.append(f(x))
+            gs.append(jax.grad(f)(x))
+            Hs.append(_psd_project(jax.hessian(f)(x)))
+        gen_f0 = jnp.stack(f0s)
+        gen_g = jnp.stack(gs)
+        gen_H = jnp.stack(Hs)
+    else:
+        gen_f0 = jnp.zeros((0,), dt)
+        gen_g = jnp.zeros((0, n_x), dt)
+        gen_H = jnp.zeros((0, n_x, n_x), dt)
+
+    return _Cvx(err_sq, J_sq, w_sq, err_h, J_h, w_h, err_a, J_a, w_a,
+                gen_f0, gen_g, gen_H)
+
+
+def _merit_row_weights(plan: _Plan, cvx: _Cvx, merit: jax.Array):
+    """Effective slack weights: cost weights for cost rows, merit coeff for
+    constraint-penalty rows (cntsToCosts, optimizers.cpp:58-80)."""
+    w_h = cvx.w_h_cost
+    for j, t, start in plan.ineq:
+        w_h = jax.lax.dynamic_update_slice(
+            w_h, jnp.full((t.n_rows,), 1.0, w_h.dtype) * merit[j], (start,))
+    w_a = cvx.w_a_cost
+    for j, t, start in plan.eq:
+        w_a = jax.lax.dynamic_update_slice(
+            w_a, jnp.full((t.n_rows,), 1.0, w_a.dtype) * merit[j], (start,))
+    return w_h, w_a
+
+
+# --------------------------------------------------------------------------
+# QP assembly — layout [dx | hinge slacks h | abs slacks p | abs slacks n]
+# (reference layout doc: trajopt_sqp/src/trajopt_qp_problem.cpp:28-34)
+# --------------------------------------------------------------------------
+
+
+def _assemble_qp(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
+                 x: jax.Array, box: jax.Array, lb: jax.Array, ub: jax.Array
+                 ) -> QPData:
+    n_x, m_h, m_a = plan.spec.n_x, plan.m_h, plan.m_a
+    dt = x.dtype
+    n_slack = m_h + 2 * m_a
+    n_qp = n_x + n_slack
+    m_qp = m_h + m_a + n_qp
+
+    # objective: squared rows + generic Hessians
+    Px = 2.0 * (cvx.J_sq.T * cvx.w_sq[None, :]) @ cvx.J_sq
+    Px = Px + jnp.sum(cvx.gen_H, axis=0)
+    Px = 0.5 * (Px + Px.T)
+    qx = 2.0 * cvx.J_sq.T @ (cvx.w_sq * cvx.err_sq) + jnp.sum(cvx.gen_g, axis=0)
+
+    P = jnp.zeros((n_qp, n_qp), dt).at[:n_x, :n_x].set(Px)
+    q = jnp.concatenate([qx, w_h, w_a, w_a])
+
+    A = jnp.zeros((m_qp, n_qp), dt)
+    eye_h = jnp.eye(m_h, dtype=dt)
+    eye_a = jnp.eye(m_a, dtype=dt)
+    # hinge rows:  err_h + J_h dx - h <= 0
+    A = A.at[:m_h, :n_x].set(cvx.J_h)
+    A = A.at[:m_h, n_x:n_x + m_h].set(-eye_h)
+    # abs rows:    err_a + J_a dx - p + n = 0
+    A = A.at[m_h:m_h + m_a, :n_x].set(cvx.J_a)
+    A = A.at[m_h:m_h + m_a, n_x + m_h:n_x + m_h + m_a].set(-eye_a)
+    A = A.at[m_h:m_h + m_a, n_x + m_h + m_a:].set(eye_a)
+    # bound rows: identity over all QP variables
+    A = A.at[m_h + m_a:, :].set(jnp.eye(n_qp, dtype=dt))
+
+    inf = jnp.asarray(OSQP_INFTY, dt)
+    # trust region ∩ variable bounds, in dx coordinates
+    # (setTrustBoxConstraints, optimizers.cpp:150-165)
+    lx = jnp.maximum(lb, x - box) - x
+    ux = jnp.minimum(ub, x + box) - x
+    l = jnp.concatenate([
+        jnp.full((m_h,), -inf, dt),          # hinge rows: one-sided
+        -cvx.err_a,                          # abs rows: equality
+        lx,
+        jnp.zeros((n_slack,), dt),           # slacks >= 0
+    ])
+    u = jnp.concatenate([
+        -cvx.err_h,
+        -cvx.err_a,
+        ux,
+        jnp.full((n_slack,), inf, dt),
+    ])
+    return QPData(P, q, A, l, u)
+
+
+# --------------------------------------------------------------------------
+# Model (convex) replay and exact evaluation
+# --------------------------------------------------------------------------
+
+
+def _model_values(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
+                  dx: jax.Array):
+    """Per-term convex-model costs and violations at step dx."""
+    n_cost = len(plan.spec.cost_terms)
+    n_cnt = len(plan.spec.cnt_terms)
+    dt = dx.dtype
+    cost_vals = jnp.zeros((n_cost,), dt)
+    viols = jnp.zeros((n_cnt,), dt)
+
+    r_sq = cvx.err_sq + cvx.J_sq @ dx
+    r_h = cvx.err_h + cvx.J_h @ dx
+    r_a = cvx.err_a + cvx.J_a @ dx
+
+    for i, t, s in plan.sq:
+        rows = jax.lax.dynamic_slice(r_sq, (s,), (t.n_rows,))
+        w = jax.lax.dynamic_slice(cvx.w_sq, (s,), (t.n_rows,))
+        cost_vals = cost_vals.at[i].set(jnp.sum(w * rows * rows))
+    for k, (i, t) in enumerate(plan.gen):
+        v = cvx.gen_f0[k] + cvx.gen_g[k] @ dx + 0.5 * dx @ (cvx.gen_H[k] @ dx)
+        cost_vals = cost_vals.at[i].set(v)
+    for i, t, s in plan.hin:
+        rows = jax.lax.dynamic_slice(r_h, (s,), (t.n_rows,))
+        w = jax.lax.dynamic_slice(cvx.w_h_cost, (s,), (t.n_rows,))
+        cost_vals = cost_vals.at[i].set(jnp.sum(w * jnp.maximum(rows, 0.0)))
+    for i, t, s in plan.ab:
+        rows = jax.lax.dynamic_slice(r_a, (s,), (t.n_rows,))
+        w = jax.lax.dynamic_slice(cvx.w_a_cost, (s,), (t.n_rows,))
+        cost_vals = cost_vals.at[i].set(jnp.sum(w * jnp.abs(rows)))
+    for j, t, s in plan.ineq:
+        rows = jax.lax.dynamic_slice(r_h, (s,), (t.n_rows,))
+        viols = viols.at[j].set(jnp.sum(jnp.maximum(rows, 0.0)))
+    for j, t, s in plan.eq:
+        rows = jax.lax.dynamic_slice(r_a, (s,), (t.n_rows,))
+        viols = viols.at[j].set(jnp.sum(jnp.abs(rows)))
+    return cost_vals, viols
+
+
+def _evaluate(spec: ProblemSpec, data: ProblemData, x: jax.Array):
+    """Exact per-term costs and violations at x."""
+    dt = x.dtype
+    n_cost = len(spec.cost_terms)
+    n_cnt = len(spec.cnt_terms)
+    cost_vals = jnp.zeros((n_cost,), dt)
+    viols = jnp.zeros((n_cnt,), dt)
+    for i, t in enumerate(spec.cost_terms):
+        cost_vals = cost_vals.at[i].set(t.value(x, data.cost_params[i]))
+    for j, t in enumerate(spec.cnt_terms):
+        viols = viols.at[j].set(t.violation(x, data.cnt_params[j]))
+    return cost_vals, viols
+
+
+# --------------------------------------------------------------------------
+# The solver loop
+# --------------------------------------------------------------------------
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    box: jax.Array
+    merit: jax.Array
+    cost_vals: jax.Array
+    cnt_viols: jax.Array
+    it: jax.Array  # accepted steps in current penalty round
+    penalty_it: jax.Array
+    qp_fails: jax.Array
+    n_qp: jax.Array
+    n_fev: jax.Array
+    status: jax.Array
+    warm_dx: jax.Array
+    warm_y: jax.Array
+
+
+def solve(spec: ProblemSpec, data: ProblemData,
+          params: SQPParams = SQPParams()) -> SQPResult:
+    """Solve one problem instance. ``vmap``/``solve_batch`` for many."""
+    return _solve(spec, params, data)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult:
+    plan = _plan(spec)
+    p = params
+    n_x = spec.n_x
+    n_cnt = len(spec.cnt_terms)
+    n_slack = plan.m_h + 2 * plan.m_a
+    n_qp = n_x + n_slack
+    m_qp = plan.m_h + plan.m_a + n_qp
+
+    x0 = jnp.clip(data.x0, data.lb, data.ub)  # getClosestFeasiblePoint
+    dt = x0.dtype
+    cost_vals0, viols0 = _evaluate(spec, data, x0)
+    merit0 = jnp.full((n_cnt,), p.initial_merit_error_coeff, dt)
+
+    st0 = _State(
+        x=x0,
+        box=jnp.asarray(p.trust_box_size, dt),
+        merit=merit0,
+        cost_vals=cost_vals0,
+        cnt_viols=viols0,
+        it=jnp.int32(0),
+        penalty_it=jnp.int32(0),
+        qp_fails=jnp.int32(0),
+        n_qp=jnp.int32(0),
+        n_fev=jnp.int32(1),
+        status=jnp.int32(RUNNING),
+        warm_dx=jnp.zeros((n_qp,), dt),
+        warm_y=jnp.zeros((m_qp,), dt),
+    )
+
+    def cond(st: _State):
+        return (st.status == RUNNING) & (st.n_qp < p.max_total_qp_solves)
+
+    def body(st: _State) -> _State:
+        cvx = _convexify(plan, data, st.x)
+        w_h, w_a = _merit_row_weights(plan, cvx, st.merit)
+        qp_data = _assemble_qp(plan, cvx, w_h, w_a, st.x, st.box,
+                               data.lb, data.ub)
+        sol = _solve_qp(qp_data, p.qp, st.warm_dx, st.warm_y)
+        qp_ok = (sol.status == 1) | (sol.status == 2)
+        dx = sol.x[:n_x]
+
+        new_x = st.x + dx
+        model_costs, model_viols = _model_values(plan, cvx, w_h, w_a, dx)
+        new_costs, new_viols = _evaluate(spec, data, new_x)
+
+        old_merit = jnp.sum(st.cost_vals) + st.merit @ st.cnt_viols
+        model_merit = jnp.sum(model_costs) + st.merit @ model_viols
+        new_merit = jnp.sum(new_costs) + st.merit @ new_viols
+        approx = old_merit - model_merit
+        exact = old_merit - new_merit
+        ratio = exact / jnp.where(jnp.abs(approx) > 1e-30, approx, 1e-30)
+
+        # ---------------- QP-success decision tree ----------------
+        sqp_conv = (approx < p.min_approx_improve) | (
+            approx / jnp.where(jnp.abs(old_merit) > 1e-30, old_merit, 1e-30)
+            < p.min_approx_improve_frac
+        )
+        shrink_step = (~sqp_conv) & ((exact < 0) | (ratio < p.improve_ratio_threshold))
+        accept = (~sqp_conv) & (~shrink_step)
+
+        # ---------------- QP-failure handling ----------------
+        # (optimizers.cpp:813-837): shrink and retry; last retry at min box;
+        # one more failure -> OPT_FAILED.
+        fail_shrink = st.qp_fails < (p.max_qp_solver_failures - 1)
+        fail_minbox = st.qp_fails == (p.max_qp_solver_failures - 1)
+        fail_fatal = st.qp_fails >= p.max_qp_solver_failures
+
+        box_fail = jnp.where(
+            fail_shrink, st.box * p.trust_shrink_ratio,
+            jnp.where(fail_minbox, jnp.asarray(p.min_trust_box_size, dt), st.box))
+
+        # ---------------- merge branches ----------------
+        ok = qp_ok
+        x1 = jnp.where(ok & accept, new_x, st.x)
+        cost1 = jnp.where(ok & accept, new_costs, st.cost_vals)
+        viol1 = jnp.where(ok & accept, new_viols, st.cnt_viols)
+        box1 = jnp.where(
+            ok,
+            jnp.where(accept, st.box * p.trust_expand_ratio,
+                      jnp.where(shrink_step, st.box * p.trust_shrink_ratio,
+                                st.box)),
+            box_fail,
+        )
+        it1 = jnp.where(ok & accept, st.it + 1, st.it)
+        qp_fails1 = jnp.where(ok, jnp.int32(0), st.qp_fails + 1)
+
+        status1 = jnp.where(~ok & fail_fatal, jnp.int32(FAILED), st.status)
+
+        # SQP iteration limit (checked at end of an accepted pass)
+        viol_ok_now = jnp.max(viol1, initial=jnp.asarray(0.0, dt)) < p.cnt_tolerance
+        hit_iter_limit = ok & accept & (it1 >= p.max_iter)
+        status1 = jnp.where(
+            hit_iter_limit,
+            jnp.where(viol_ok_now, jnp.int32(CONVERGED),
+                      jnp.int32(SCO_ITERATION_LIMIT)),
+            status1,
+        )
+
+        # ---------------- penalty adjustment ----------------
+        # triggered by SQP convergence or a trust box below minimum
+        box_dead = box1 < p.min_trust_box_size
+        pa = (status1 == RUNNING) & ((ok & sqp_conv) | box_dead)
+
+        pa_done = pa & viol_ok_now
+        status2 = jnp.where(pa_done, jnp.int32(CONVERGED), status1)
+
+        pa_cont = pa & (~viol_ok_now)
+        pen_it1 = jnp.where(pa_cont, st.penalty_it + 1, st.penalty_it)
+        status2 = jnp.where(
+            pa_cont & (pen_it1 >= p.max_merit_coeff_increases),
+            jnp.int32(PENALTY_ITERATION_LIMIT), status2)
+
+        if p.inflate_constraints_individually:
+            inflate = pa_cont & (viol1 > p.cnt_tolerance)
+        else:
+            inflate = pa_cont & jnp.ones_like(viol1, dtype=bool)
+        merit1 = jnp.where(inflate, st.merit * p.merit_coeff_increase_ratio,
+                           st.merit)
+        box2 = jnp.where(
+            pa_cont,
+            jnp.maximum(box1, p.min_trust_box_size / p.trust_shrink_ratio * 1.5),
+            box1)
+        it2 = jnp.where(pa_cont, jnp.int32(0), it1)
+
+        return _State(
+            x=x1, box=box2, merit=merit1, cost_vals=cost1, cnt_viols=viol1,
+            it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
+            n_qp=st.n_qp + 1, n_fev=st.n_fev + 1, status=status2,
+            warm_dx=sol.x, warm_y=sol.y,
+        )
+
+    st = jax.lax.while_loop(cond, body, st0)
+
+    # backstop cap hit while still running -> iteration-limit semantics
+    viol_ok = jnp.max(st.cnt_viols, initial=jnp.asarray(0.0, x0.dtype)) < p.cnt_tolerance
+    final_status = jnp.where(
+        st.status == RUNNING,
+        jnp.where(viol_ok, jnp.int32(CONVERGED), jnp.int32(SCO_ITERATION_LIMIT)),
+        st.status,
+    )
+    return SQPResult(
+        x=st.x,
+        status=final_status,
+        cost_vals=st.cost_vals,
+        cnt_viols=st.cnt_viols,
+        total_cost=jnp.sum(st.cost_vals),
+        n_func_evals=st.n_fev,
+        n_qp_solves=st.n_qp,
+        merit_coeffs=st.merit,
+        trust_box_size=st.box,
+    )
+
+
+def solve_batch(spec: ProblemSpec, data: ProblemData,
+                params: SQPParams = SQPParams()) -> SQPResult:
+    """Solve a batch of instances (every leaf of ``data`` has a leading axis).
+
+    One compiled program; divergent per-instance progress is handled by the
+    batched ``while_loop`` (lanes that finish are frozen).  This is the
+    batch-parallel axis described in SURVEY.md §2.8 — shard it across chips
+    with ``parallel.sharding``.
+    """
+    return jax.vmap(lambda d: _solve(spec, params, d))(data)

@@ -1,0 +1,103 @@
+"""SQP solver types: parameters, statuses, state, results.
+
+Parameter names/defaults mirror the reference
+``BasicTrustRegionSQPParameters`` (trajopt_sco/include/trajopt_sco/
+optimizers.hpp:92-135) so configs translate 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+
+from ..ops.qp import QPSettings
+from ..terms.base import Term
+
+# Status codes (reference OptStatus, trajopt_sco/include/trajopt_sco/
+# optimizers.hpp:25-33; RUNNING is the in-progress sentinel).
+RUNNING = 0
+CONVERGED = 1
+SCO_ITERATION_LIMIT = 2
+PENALTY_ITERATION_LIMIT = 3
+FAILED = 4
+
+STATUS_NAMES = {
+    RUNNING: "RUNNING",
+    CONVERGED: "OPT_CONVERGED",
+    SCO_ITERATION_LIMIT: "OPT_SCO_ITERATION_LIMIT",
+    PENALTY_ITERATION_LIMIT: "OPT_PENALTY_ITERATION_LIMIT",
+    FAILED: "OPT_FAILED",
+}
+
+_NEG_INF = float("-inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPParams:
+    """Trust-region penalty SQP knobs (hashable; jit-static)."""
+
+    improve_ratio_threshold: float = 0.25
+    min_trust_box_size: float = 1e-4
+    min_approx_improve: float = 1e-4
+    min_approx_improve_frac: float = _NEG_INF
+    max_iter: int = 50
+    trust_shrink_ratio: float = 0.1
+    trust_expand_ratio: float = 1.5
+    cnt_tolerance: float = 1e-4
+    max_merit_coeff_increases: int = 5
+    max_qp_solver_failures: int = 3
+    merit_coeff_increase_ratio: float = 10.0
+    initial_merit_error_coeff: float = 10.0
+    inflate_constraints_individually: bool = True
+    trust_box_size: float = 1e-1
+    # device-loop safety cap on total QP solves (the reference caps via
+    # max_iter per penalty round + bounded trust shrinks; this is a backstop)
+    max_total_qp_solves: int = 3000
+    qp: QPSettings = QPSettings()
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ProblemSpec:
+    """Static problem-class description (shapes + term functions).
+
+    The TPU analog of ``sco::OptProb`` (trajopt_sco/include/trajopt_sco/
+    modeling.hpp:188-267): decision-variable count, cost terms, constraint
+    terms.  Per-instance numbers (bounds, targets, initial point) live in
+    ``ProblemData`` so a single compiled solve serves a whole batch.
+    """
+
+    n_x: int
+    cost_terms: tuple[Term, ...] = ()
+    cnt_terms: tuple[Term, ...] = ()
+
+    def __post_init__(self):
+        for t in self.cost_terms:
+            assert t.is_cost, f"{t.name} is not a cost term"
+        for t in self.cnt_terms:
+            assert not t.is_cost, f"{t.name} is not a constraint term"
+
+
+class ProblemData(NamedTuple):
+    """Per-instance dynamic data (a pytree; add a leading axis to batch)."""
+
+    x0: jax.Array  # (n_x,) initial iterate
+    lb: jax.Array  # (n_x,) variable lower bounds (joint limits / fixed vars)
+    ub: jax.Array  # (n_x,)
+    cost_params: tuple  # pytree params per cost term, in spec order
+    cnt_params: tuple  # pytree params per constraint term, in spec order
+
+
+class SQPResult(NamedTuple):
+    """Solve outcome (reference OptResults, optimizers.hpp:40-59)."""
+
+    x: jax.Array  # (n_x,) final iterate
+    status: jax.Array  # () int32
+    cost_vals: jax.Array  # (n_cost,) per-term exact costs at x
+    cnt_viols: jax.Array  # (n_cnt,) per-term violations at x
+    total_cost: jax.Array  # () sum of cost_vals
+    n_func_evals: jax.Array  # () int32
+    n_qp_solves: jax.Array  # () int32
+    merit_coeffs: jax.Array  # (n_cnt,) final penalty coefficients
+    trust_box_size: jax.Array  # () final trust region size

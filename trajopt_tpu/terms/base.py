@@ -1,0 +1,142 @@
+"""Term system: costs and constraints as pure JAX functions.
+
+A *term* is the TPU-native analog of the reference's ``sco::Cost`` /
+``sco::Constraint`` objects (trajopt_sco/include/trajopt_sco/modeling.hpp) and
+the ``CostFromErrFunc`` / ``ConstraintFromErrFunc`` factories
+(trajopt_sco/include/trajopt_sco/modeling_utils.hpp:53-113): a pure function
+``fn(x, params) -> err_rows`` with a penalty kind attached.  Convexification
+is linearization (autodiff or user-supplied analytic Jacobian), so a term
+never builds expression objects — the SQP engine assembles dense QP blocks
+directly from ``(err, jac)``.
+
+Kinds and their exact values (reference semantics):
+
+- ``SQUARED``   cost  = sum_i w_i * err_i^2
+- ``ABS``       cost  = sum_i w_i * |err_i|
+- ``HINGE``     cost  = sum_i w_i * max(0, err_i)
+- ``GENERIC``   scalar cost f(x); convexified with grad + PSD-projected
+                Hessian (reference: trajopt_sco/src/modeling_utils.cpp:79-88)
+- ``EQ``        constraint rows err_i = 0;   violation = sum_i |err_i|
+- ``INEQ``      constraint rows err_i <= 0;  violation = sum_i max(0, err_i)
+
+Constraint coefficients are folded into ``fn`` (the reference scales the
+error inside the constraint, so violation and penalty scale together).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class TermKind(enum.IntEnum):
+    SQUARED = 0
+    ABS = 1
+    HINGE = 2
+    GENERIC = 3  # scalar cost, full-Hessian convexification
+    EQ = 4
+    INEQ = 5
+
+
+COST_KINDS = (TermKind.SQUARED, TermKind.ABS, TermKind.HINGE, TermKind.GENERIC)
+CNT_KINDS = (TermKind.EQ, TermKind.INEQ)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Term:
+    """Static term specification (hashable by identity; safe as jit static).
+
+    ``fn(x, params)`` returns the error rows ``(n_rows,)`` (or a scalar for
+    GENERIC).  ``params`` is an arbitrary pytree carried in ``ProblemData``;
+    per-instance values (targets, tolerances, obstacle poses, ...) live there
+    so one compiled solver serves a whole batch of problem instances.
+
+    ``weight_fn(params)`` returns per-row cost weights ``(n_rows,)`` —
+    ignored for constraints (their merit coefficient is the penalty weight).
+
+    ``jac_fn(x, params)`` optionally overrides autodiff linearization with an
+    analytic Jacobian ``(n_rows, n_x)`` (the reference's analytic-Jacobian
+    term evaluators, e.g. trajopt/src/kinematic_terms.cpp:444-470).
+    """
+
+    name: str
+    kind: TermKind
+    n_rows: int
+    fn: Callable[[jax.Array, Any], jax.Array]
+    weight_fn: Optional[Callable[[Any], jax.Array]] = None
+    jac_fn: Optional[Callable[[jax.Array, Any], jax.Array]] = None
+
+    @property
+    def is_cost(self) -> bool:
+        return self.kind in COST_KINDS
+
+    def weights(self, params: Any) -> jax.Array:
+        if self.weight_fn is None:
+            return jnp.ones((self.n_rows,))
+        return jnp.asarray(self.weight_fn(params))
+
+    def err(self, x: jax.Array, params: Any) -> jax.Array:
+        e = self.fn(x, params)
+        if self.kind == TermKind.GENERIC:
+            return jnp.reshape(e, ())
+        return jnp.reshape(e, (self.n_rows,))
+
+    def jac(self, x: jax.Array, params: Any) -> jax.Array:
+        """Linearization (n_rows, n_x); GENERIC uses grad+Hessian elsewhere."""
+        if self.jac_fn is not None:
+            return jnp.reshape(self.jac_fn(x, params), (self.n_rows, x.shape[0]))
+        return jnp.reshape(
+            jax.jacfwd(lambda xx: self.err(xx, params))(x), (self.n_rows, x.shape[0])
+        )
+
+    def value(self, x: jax.Array, params: Any) -> jax.Array:
+        """Exact cost value (reference Cost::value semantics)."""
+        if self.kind == TermKind.GENERIC:
+            return self.err(x, params)
+        e = self.err(x, params)
+        w = self.weights(params)
+        if self.kind == TermKind.SQUARED:
+            return jnp.sum(w * e * e)
+        if self.kind == TermKind.ABS:
+            return jnp.sum(w * jnp.abs(e))
+        if self.kind == TermKind.HINGE:
+            return jnp.sum(w * jnp.maximum(e, 0.0))
+        raise ValueError(f"value() on constraint term {self.name}")
+
+    def violation(self, x: jax.Array, params: Any) -> jax.Array:
+        """Exact constraint violation (reference Constraint::violation:
+        trajopt_sco/src/modeling.cpp:150-169)."""
+        e = self.err(x, params)
+        if self.kind == TermKind.EQ:
+            return jnp.sum(jnp.abs(e))
+        if self.kind == TermKind.INEQ:
+            return jnp.sum(jnp.maximum(e, 0.0))
+        raise ValueError(f"violation() on cost term {self.name}")
+
+
+def squared_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
+    return Term(name, TermKind.SQUARED, n_rows, fn, weight_fn, jac_fn)
+
+
+def abs_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
+    return Term(name, TermKind.ABS, n_rows, fn, weight_fn, jac_fn)
+
+
+def hinge_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
+    return Term(name, TermKind.HINGE, n_rows, fn, weight_fn, jac_fn)
+
+
+def generic_cost(name, fn) -> Term:
+    return Term(name, TermKind.GENERIC, 1, fn)
+
+
+def eq_constraint(name, n_rows, fn, jac_fn=None) -> Term:
+    return Term(name, TermKind.EQ, n_rows, fn, None, jac_fn)
+
+
+def ineq_constraint(name, n_rows, fn, jac_fn=None) -> Term:
+    return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn)
