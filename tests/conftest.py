@@ -3,11 +3,15 @@
 The driver benches on real TPU hardware; tests validate numerics (f64 on CPU)
 and multi-device sharding (8 virtual CPU devices), per the multi-chip testing
 strategy in SURVEY.md §4.
+
+NOTE: this environment ships a sitecustomize that force-registers a remote
+TPU ("axon") backend and sets JAX_PLATFORMS=axon, overriding the usual env
+var route.  ``jax.config.update("jax_platforms", "cpu")`` after import is the
+reliable way to pin tests to CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: first run pays XLA compile, reruns are fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache")

@@ -1,0 +1,246 @@
+"""Batched forward kinematics + analytic geometric Jacobians.
+
+TPU-native replacement for ``tesseract::kinematics::JointGroup``
+(``calcFwdKin`` / ``calcJacobian``, consumed by the reference at
+trajopt/src/collision_terms.cpp:217 and kinematic_terms.cpp).  A
+:class:`Chain` is baked host-side from a parsed URDF for one joint group;
+its methods are pure jnp functions of ``q`` — `vmap` over trajectory steps
+and problem batches turns the small per-link matmuls into large batched ops.
+
+Design:
+- links topologically sorted; FK is a statically unrolled composition of
+  (R, p) pairs (no dynamic control flow — XLA sees a fixed DAG);
+- non-group actuated joints are frozen at default positions and folded into
+  fixed offsets at bake time;
+- Jacobians are fully vectorized: per-dof world axes/origins from FK plus a
+  static ancestor mask (no autodiff needed on the hot path, though all
+  functions remain differentiable for higher-order terms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lie import axis_angle_matrix, rpy_to_matrix
+from .urdf import RobotModel
+
+JT_FIXED, JT_REVOLUTE, JT_PRISMATIC = 0, 1, 2
+
+
+def _np_rpy(rpy: np.ndarray) -> np.ndarray:
+    return np.asarray(rpy_to_matrix(jnp.asarray(rpy)))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Chain:
+    """Jit-ready kinematic chain for one joint group (hash-by-identity)."""
+
+    link_names: tuple
+    joint_names: tuple  # actuated group joints, dof order
+    parent: np.ndarray  # (L,) int, -1 for root
+    off_R: np.ndarray  # (L, 3, 3) fixed offset rotation (incl. frozen joints)
+    off_p: np.ndarray  # (L, 3)
+    jtype: np.ndarray  # (L,) int: JT_*
+    axis: np.ndarray  # (L, 3)
+    dof_of_link: np.ndarray  # (L,) int, -1 if link's joint is not a group dof
+    link_of_dof: np.ndarray  # (n_dof,) int link index whose joint is dof d
+    ancestor: np.ndarray  # (L, n_dof) bool: dof d moves link l
+    lb: np.ndarray  # (n_dof,)
+    ub: np.ndarray  # (n_dof,)
+    vel: np.ndarray  # (n_dof,)
+
+    @property
+    def n_dof(self) -> int:
+        return len(self.joint_names)
+
+    @property
+    def n_links(self) -> int:
+        return len(self.link_names)
+
+    def link_index(self, name: str) -> int:
+        return self.link_names.index(name)
+
+    # ---------------- forward kinematics ----------------
+
+    def fk(self, q: jax.Array):
+        """World poses of every link: (R (L,3,3), p (L,3)).
+
+        Also usable under vmap/jacfwd; all indexing is static.
+        """
+        L = self.n_links
+        Rs: list = [None] * L
+        ps: list = [None] * L
+        dt = q.dtype
+        for l in range(L):
+            par = int(self.parent[l])
+            offR = jnp.asarray(self.off_R[l], dt)
+            offp = jnp.asarray(self.off_p[l], dt)
+            if par < 0:
+                Rj, pj = offR, offp
+            else:
+                Rj = Rs[par] @ offR
+                pj = Rs[par] @ offp + ps[par]
+            jt = int(self.jtype[l])
+            d = int(self.dof_of_link[l])
+            if jt == JT_REVOLUTE and d >= 0:
+                Rs[l] = Rj @ axis_angle_matrix(jnp.asarray(self.axis[l], dt), q[d])
+                ps[l] = pj
+            elif jt == JT_PRISMATIC and d >= 0:
+                Rs[l] = Rj
+                ps[l] = pj + Rj @ (jnp.asarray(self.axis[l], dt) * q[d])
+            else:
+                Rs[l] = Rj
+                ps[l] = pj
+        return jnp.stack(Rs), jnp.stack(ps)
+
+    def joint_frames(self, q: jax.Array):
+        """World joint axes and origins for each dof: (z (n_dof,3), o (n_dof,3)).
+
+        The rotation axis is invariant to the joint's own motion, so the
+        post-motion link rotation works for both revolute and prismatic.
+        """
+        R, p = self.fk(q)
+        lk = jnp.asarray(self.link_of_dof)
+        Rl = R[lk]  # (n_dof, 3, 3)
+        ax = jnp.asarray(self.axis, q.dtype)[lk]
+        z = jnp.einsum("dij,dj->di", Rl, ax)
+        o = p[lk]
+        return z, o, R, p
+
+    # ---------------- analytic geometric Jacobian ----------------
+
+    def jacobian_point(self, q: jax.Array, link: int, point_world: jax.Array):
+        """(3, n_dof) Jacobian of a world-space point rigidly attached to
+        ``link`` (the reference's jacobianChangeRefPoint pattern,
+        trajopt/src/collision_terms.cpp:203-250)."""
+        z, o, _, _ = self.joint_frames(q)
+        mask = jnp.asarray(self.ancestor[link], q.dtype)  # (n_dof,)
+        rev = jnp.asarray(self.jtype[self.link_of_dof] == JT_REVOLUTE, q.dtype)
+        Jv_rev = jnp.cross(z, point_world[None, :] - o)  # (n_dof, 3)
+        Jv = (rev[:, None] * Jv_rev + (1 - rev)[:, None] * z) * mask[:, None]
+        return Jv.T
+
+    def jacobian(self, q: jax.Array, link: int,
+                 point_world: Optional[jax.Array] = None):
+        """(6, n_dof) geometric Jacobian [linear; angular] at ``point_world``
+        (defaults to the link origin)."""
+        z, o, R, p = self.joint_frames(q)
+        pt = p[link] if point_world is None else point_world
+        mask = jnp.asarray(self.ancestor[link], q.dtype)
+        rev = jnp.asarray(self.jtype[self.link_of_dof] == JT_REVOLUTE, q.dtype)
+        Jv_rev = jnp.cross(z, pt[None, :] - o)
+        Jv = (rev[:, None] * Jv_rev + (1 - rev)[:, None] * z) * mask[:, None]
+        Jw = rev[:, None] * z * mask[:, None]
+        return jnp.concatenate([Jv.T, Jw.T], axis=0)
+
+    def fk_batch(self, Q: jax.Array):
+        """FK over a trajectory / batch: Q (..., n_dof) -> (R (...,L,3,3), p)."""
+        flat = Q.reshape((-1, self.n_dof))
+        R, p = jax.vmap(self.fk)(flat)
+        return (R.reshape(Q.shape[:-1] + (self.n_links, 3, 3)),
+                p.reshape(Q.shape[:-1] + (self.n_links, 3)))
+
+
+def build_chain(model: RobotModel, joints: Sequence[str] | str,
+                q_defaults: Optional[dict] = None,
+                base_link: Optional[str] = None) -> Chain:
+    """Bake a Chain for a joint group.
+
+    ``joints`` is a list of actuated joint names (dof order) or an SRDF group
+    name.  Remaining actuated joints are frozen at ``q_defaults`` (default 0)
+    and folded into fixed offsets.
+    """
+    if isinstance(joints, str):
+        joints = model.groups[joints]
+    joints = list(joints)
+    q_defaults = q_defaults or {}
+
+    order: list[str] = []
+    children: dict[str, list] = {}
+    roots = []
+    joint_by_child = {}
+    for j in model.joints:
+        children.setdefault(j.parent, []).append(j)
+        joint_by_child[j.child] = j
+    all_children = set(joint_by_child)
+    roots = [l for l in model.links if l not in all_children]
+    if base_link is not None:
+        roots = [base_link]
+
+    # topological order via DFS from roots
+    stack = list(reversed(roots))
+    while stack:
+        l = stack.pop()
+        order.append(l)
+        for j in sorted(children.get(l, []), key=lambda jj: jj.name):
+            stack.append(j.child)
+
+    link_idx = {l: i for i, l in enumerate(order)}
+    L = len(order)
+    parent = np.full(L, -1, np.int64)
+    off_R = np.tile(np.eye(3), (L, 1, 1))
+    off_p = np.zeros((L, 3))
+    jtype = np.zeros(L, np.int64)
+    axis = np.zeros((L, 3))
+    axis[:, 0] = 1.0
+    dof_of_link = np.full(L, -1, np.int64)
+
+    dof_index = {name: d for d, name in enumerate(joints)}
+    link_of_dof = np.zeros(len(joints), np.int64)
+    lb = np.zeros(len(joints))
+    ub = np.zeros(len(joints))
+    vel = np.zeros(len(joints))
+
+    for i, lname in enumerate(order):
+        j = joint_by_child.get(lname)
+        if j is None:
+            continue
+        parent[i] = link_idx[j.parent]
+        R = _np_rpy(j.rpy)
+        p = j.xyz.copy()
+        if j.name in dof_index:
+            d = dof_index[j.name]
+            dof_of_link[i] = d
+            link_of_dof[d] = i
+            jtype[i] = JT_REVOLUTE if j.jtype in ("revolute", "continuous") else JT_PRISMATIC
+            axis[i] = j.axis
+            lb[d], ub[d], vel[d] = j.lower, j.upper, j.velocity
+        elif j.jtype != "fixed":
+            # frozen actuated joint: fold default q into the fixed offset
+            q0 = float(q_defaults.get(j.name, 0.0))
+            if j.jtype in ("revolute", "continuous"):
+                R = R @ np.asarray(axis_angle_matrix(jnp.asarray(j.axis), jnp.asarray(q0)))
+            else:
+                p = p + R @ (j.axis * q0)
+        off_R[i] = R
+        off_p[i] = p
+
+    ancestor = np.zeros((L, len(joints)), bool)
+    for i in range(L):
+        a = i
+        while a >= 0:
+            d = dof_of_link[a]
+            if d >= 0:
+                ancestor[i, d] = True
+            a = parent[a]
+
+    return Chain(
+        link_names=tuple(order),
+        joint_names=tuple(joints),
+        parent=parent,
+        off_R=off_R,
+        off_p=off_p,
+        jtype=jtype,
+        axis=axis,
+        dof_of_link=dof_of_link,
+        link_of_dof=link_of_dof,
+        ancestor=ancestor,
+        lb=lb,
+        ub=ub,
+        vel=vel,
+    )
