@@ -1,0 +1,115 @@
+"""Trajectory problem construction — the TPU analog of ``TrajOptProb`` /
+``ProblemConstructionInfo`` / ``ConstructProblem``
+(trajopt/include/trajopt/problem_description.hpp:68-667).
+
+The decision vector is the flattened (n_steps, n_dof) joint grid (the
+reference's ``VarArray``).  A :class:`TrajProblemBuilder` accumulates terms
+and their per-instance parameters, then ``build()`` emits the static
+:class:`ProblemSpec` plus a :class:`ProblemData` instance.  Batch solving:
+build once, ``stack_data`` many instances (one compiled program).
+
+Fixed timesteps / fixed dofs are enforced with equal lower/upper variable
+bounds — exact, unlike the reference's penalty-equality route
+(problem_description.cpp:484-530), and strictly tighter.
+
+Init trajectory modes mirror ``generateInitTraj``
+(problem_description.cpp:310-376): stationary / joint_interpolated /
+given_traj.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kinematics.chain import Chain
+from ..solver.types import ProblemData, ProblemSpec
+from ..terms.base import Term
+
+
+def stationary_init(q0: jax.Array, n_steps: int) -> jax.Array:
+    return jnp.tile(jnp.asarray(q0)[None, :], (n_steps, 1))
+
+
+def interpolated_init(q0: jax.Array, q1: jax.Array, n_steps: int) -> jax.Array:
+    a = jnp.linspace(0.0, 1.0, n_steps)[:, None]
+    return (1 - a) * jnp.asarray(q0)[None, :] + a * jnp.asarray(q1)[None, :]
+
+
+@dataclasses.dataclass
+class TrajProblemBuilder:
+    """Accumulates terms + params for one problem class."""
+
+    chain: Chain
+    n_steps: int
+
+    def __post_init__(self):
+        self._cost_terms: list[Term] = []
+        self._cost_params: list[Any] = []
+        self._cnt_terms: list[Term] = []
+        self._cnt_params: list[Any] = []
+        self._fixed_steps: list[int] = []
+        self._fixed_dofs: list[int] = []
+
+    @property
+    def n_dof(self) -> int:
+        return self.chain.n_dof
+
+    @property
+    def n_x(self) -> int:
+        return self.n_steps * self.n_dof
+
+    def add_cost(self, term: Term, params: Any = ()):
+        self._cost_terms.append(term)
+        self._cost_params.append(params)
+        return self
+
+    def add_constraint(self, term: Term, params: Any = ()):
+        self._cnt_terms.append(term)
+        self._cnt_params.append(params)
+        return self
+
+    def fix_timestep(self, step: int):
+        """Pin an entire step to its initial value (fixed_timesteps)."""
+        self._fixed_steps.append(step)
+        return self
+
+    def fix_dof(self, dof: int):
+        """Pin one dof across all steps (fixed_dofs)."""
+        self._fixed_dofs.append(dof)
+        return self
+
+    def build(self, init_traj: jax.Array):
+        """Returns (spec, data) for the given (n_steps, n_dof) init traj."""
+        T, D = self.n_steps, self.n_dof
+        init = jnp.asarray(init_traj).reshape(T, D)
+        lb = jnp.tile(jnp.asarray(self.chain.lb)[None, :], (T, 1))
+        ub = jnp.tile(jnp.asarray(self.chain.ub)[None, :], (T, 1))
+        for s in self._fixed_steps:
+            lb = lb.at[s].set(init[s])
+            ub = ub.at[s].set(init[s])
+        for d in self._fixed_dofs:
+            lb = lb.at[:, d].set(init[:, d])
+            ub = ub.at[:, d].set(init[:, d])
+        spec = ProblemSpec(
+            n_x=T * D,
+            cost_terms=tuple(self._cost_terms),
+            cnt_terms=tuple(self._cnt_terms),
+        )
+        data = ProblemData(
+            x0=init.reshape(-1),
+            lb=lb.reshape(-1),
+            ub=ub.reshape(-1),
+            cost_params=tuple(self._cost_params),
+            cnt_params=tuple(self._cnt_params),
+        )
+        return spec, data
+
+
+def stack_data(datas: Sequence[ProblemData]) -> ProblemData:
+    """Stack per-instance ProblemData pytrees into a batch (leading axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *datas)

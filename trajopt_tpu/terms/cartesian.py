@@ -1,0 +1,131 @@
+"""Cartesian terms: pose targets, dynamic (link-to-link) poses, velocity.
+
+TPU-native equivalents of the reference's cartesian evaluators
+(trajopt/src/kinematic_terms.cpp):
+
+- ``cart_pose_term``: FK(source link)*source_offset vs a world target pose
+  (or a moving target link*offset — DynamicCartPose, kinematic_terms.cpp:
+  98-184); error = [translation; angle-axis] of target^-1 * source
+  (CartPoseErrCalculator, kinematic_terms.cpp:187-346), rows scaled by
+  pos_coeffs/rot_coeffs (zero coeff disables a row).
+- ``cart_vel_term``: per-axis two-sided bound on the end-effector
+  displacement between consecutive steps (CartVelErrCalculator,
+  kinematic_terms.cpp:376-425): rows [dp - limit; -dp - limit] <= 0.
+
+Linearization is autodiff (jacfwd) through the statically unrolled FK; this
+is exact (the reference uses numeric differentiation for most pose
+Jacobians, kinematic_terms.cpp:158-185).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..kinematics.chain import Chain
+from ..ops.lie import transform_error
+from .base import Term, abs_cost, eq_constraint, ineq_constraint, squared_cost
+
+
+def _link_pose_with_offset(chain: Chain, q, link: int, off_R, off_p):
+    R, p = chain.fk(q)
+    Rl, pl = R[link], p[link]
+    return Rl @ off_R, Rl @ off_p + pl
+
+
+def cart_pose_term(
+    name: str,
+    chain: Chain,
+    n_steps: int,
+    step: int,
+    source_link: str,
+    target_link: Optional[str] = None,
+    is_constraint: bool = True,
+    kind: str = "eq",  # constraints: "eq"; costs: "abs" or "squared"
+) -> Term:
+    """Pose term at one trajectory step.
+
+    params pytree:
+      target_R (3,3), target_p (3,)    — world target pose, or the offset in
+                                         the target link's frame when
+                                         ``target_link`` is given
+      source_off_R (3,3), source_off_p (3,)
+      coeffs (6,)                      — [pos_coeffs, rot_coeffs]
+    """
+    n_dof = chain.n_dof
+    src = chain.link_index(source_link)
+    tgt = chain.link_index(target_link) if target_link is not None else None
+
+    def fn(x, p):
+        q = x.reshape(n_steps, n_dof)[step]
+        Rs, ps = _link_pose_with_offset(
+            chain, q, src, jnp.asarray(p["source_off_R"], x.dtype),
+            jnp.asarray(p["source_off_p"], x.dtype))
+        if tgt is None:
+            Rt = jnp.asarray(p["target_R"], x.dtype)
+            pt = jnp.asarray(p["target_p"], x.dtype)
+        else:
+            Rt, pt = _link_pose_with_offset(
+                chain, q, tgt, jnp.asarray(p["target_R"], x.dtype),
+                jnp.asarray(p["target_p"], x.dtype))
+        err = transform_error(Rt, pt, Rs, ps)
+        return err * jnp.asarray(p["coeffs"], x.dtype)
+
+    if is_constraint:
+        return eq_constraint(name, 6, fn)
+    if kind == "squared":
+        return squared_cost(name, 6, fn)
+    return abs_cost(name, 6, fn)
+
+
+def default_cart_pose_params(target_R=None, target_p=None, pos_coeffs=1.0,
+                             rot_coeffs=1.0, source_off_R=None,
+                             source_off_p=None):
+    eye = jnp.eye(3)
+    zero = jnp.zeros(3)
+    pos = jnp.broadcast_to(jnp.asarray(pos_coeffs, jnp.float64), (3,))
+    rot = jnp.broadcast_to(jnp.asarray(rot_coeffs, jnp.float64), (3,))
+    return {
+        "target_R": eye if target_R is None else jnp.asarray(target_R),
+        "target_p": zero if target_p is None else jnp.asarray(target_p),
+        "source_off_R": eye if source_off_R is None else jnp.asarray(source_off_R),
+        "source_off_p": zero if source_off_p is None else jnp.asarray(source_off_p),
+        "coeffs": jnp.concatenate([pos, rot]),
+    }
+
+
+def cart_vel_term(
+    name: str,
+    chain: Chain,
+    n_steps: int,
+    source_link: str,
+    first_step: int = 0,
+    last_step: Optional[int] = None,
+    is_constraint: bool = True,
+) -> Term:
+    """Displacement limit between consecutive steps.
+
+    params: {"max_displacement": ()} scalar.
+    Rows per gap: [dp - limit (3); -dp - limit (3)] <= 0.
+    """
+    n_dof = chain.n_dof
+    src = chain.link_index(source_link)
+    last = (n_steps - 1) if last_step is None else last_step
+    n_gaps = last - first_step
+    assert n_gaps >= 1
+
+    def fn(x, p):
+        X = x.reshape(n_steps, n_dof)
+        lim = jnp.asarray(p["max_displacement"], x.dtype)
+        import jax
+        ps = jax.vmap(lambda q: chain.fk(q)[1][src])(X[first_step:last + 1])
+        dp = ps[1:] - ps[:-1]  # (n_gaps, 3)
+        rows = jnp.concatenate([dp - lim, -dp - lim], axis=-1)  # (n_gaps, 6)
+        return rows.reshape(-1)
+
+    n = 6 * n_gaps
+    if is_constraint:
+        return ineq_constraint(name, n, fn)
+    from .base import hinge_cost
+    return hinge_cost(name, n, fn)

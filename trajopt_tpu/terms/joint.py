@@ -1,0 +1,144 @@
+"""Joint-motion terms: position / velocity / acceleration / jerk.
+
+TPU-native equivalents of the reference's matrix joint costs
+(trajopt/src/trajectory_costs.cpp — prebuilt quadratic/hinge forms) and the
+``Joint{Pos,Vel,Acc,Jerk}TermInfo::hatch`` lowerings
+(trajopt/src/problem_description.cpp:1197-1372):
+
+- finite-difference stencils over the (n_steps, n_dof) trajectory grid:
+    vel  =  x[t+1] - x[t]                      t in [first, last-1]
+    acc  =  x[t] - 2 x[t+1] + x[t+2]           t in [first, last-2]
+    jerk = -x[t] + 3 x[t+1] - 3 x[t+2] + x[t+3]  (trajectory_costs.cpp:775)
+- equality targets -> SQUARED cost or EQ constraint rows;
+- toleranced targets (upper/lower) -> HINGE cost or INEQ rows, two per
+  element:  (v - targ - upper_tol)  and  (targ + lower_tol - v).
+
+Rows are laid out step-major then dof; weights broadcast per-dof coeffs.
+All parameters (targets/tolerances/coeffs) are dynamic ``params`` entries so
+one compiled problem serves a batch of instances.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .base import (
+    Term,
+    eq_constraint,
+    hinge_cost,
+    ineq_constraint,
+    squared_cost,
+)
+
+
+def _stencil(order: int):
+    if order == 0:
+        return (1.0,)
+    if order == 1:
+        return (-1.0, 1.0)
+    if order == 2:
+        return (1.0, -2.0, 1.0)
+    if order == 3:
+        return (-1.0, 3.0, -3.0, 1.0)
+    raise ValueError(order)
+
+
+def _diff_rows(x, n_steps, n_dof, first, last, order):
+    """(n_rows,) stencil values over [first, last-order], step-major."""
+    X = x.reshape(n_steps, n_dof)
+    coefs = _stencil(order)
+    span = last - order - first + 1
+    out = jnp.zeros((span, n_dof), x.dtype)
+    for k, c in enumerate(coefs):
+        out = out + c * X[first + k:first + k + span]
+    return out.reshape(-1)
+
+
+def _eq_err_fn(n_steps, n_dof, first, last, order):
+    def fn(x, p):
+        vals = _diff_rows(x, n_steps, n_dof, first, last, order)
+        span = last - order - first + 1
+        targ = jnp.broadcast_to(jnp.asarray(p["targets"]), (span, n_dof))
+        return vals - targ.reshape(-1)
+    return fn
+
+
+def _tol_err_fn(n_steps, n_dof, first, last, order):
+    """Two-sided tolerance rows: [v - t - upper; t + lower - v]."""
+    def fn(x, p):
+        vals = _diff_rows(x, n_steps, n_dof, first, last, order)
+        span = last - order - first + 1
+        targ = jnp.broadcast_to(jnp.asarray(p["targets"]), (span, n_dof)).reshape(-1)
+        up = jnp.broadcast_to(jnp.asarray(p["upper_tols"]), (span, n_dof)).reshape(-1)
+        lo = jnp.broadcast_to(jnp.asarray(p["lower_tols"]), (span, n_dof)).reshape(-1)
+        hi_rows = vals - targ - up
+        lo_rows = targ + lo - vals
+        return jnp.concatenate([hi_rows, lo_rows])
+    return fn
+
+
+def _weight_fn(span, n_dof, doubled=False):
+    def wf(p):
+        w = jnp.broadcast_to(jnp.asarray(p["coeffs"]), (span, n_dof)).reshape(-1)
+        return jnp.concatenate([w, w]) if doubled else w
+    return wf
+
+
+def joint_motion_term(
+    name: str,
+    order: int,
+    n_steps: int,
+    n_dof: int,
+    first_step: int = 0,
+    last_step: Optional[int] = None,
+    is_constraint: bool = False,
+    toleranced: bool = False,
+) -> Term:
+    """Build a joint pos(0)/vel(1)/acc(2)/jerk(3) term.
+
+    params pytree: {"targets", "coeffs"} (+ "upper_tols"/"lower_tols" when
+    toleranced), each broadcastable to (span, n_dof).
+    """
+    last = (n_steps - 1) if last_step is None else last_step
+    span = last - order - first_step + 1
+    assert span >= 1, f"{name}: trajectory too short for order {order}"
+    n = span * n_dof
+
+    if not toleranced:
+        fn = _eq_err_fn(n_steps, n_dof, first_step, last, order)
+        if is_constraint:
+            # constraint rows are coeff-scaled (reference folds coeffs in)
+            def cfn(x, p, base=fn):
+                w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
+                                     (span, n_dof)).reshape(-1)
+                return base(x, p) * w
+            return eq_constraint(name, n, cfn)
+        return squared_cost(name, n, fn, weight_fn=_weight_fn(span, n_dof))
+
+    fn = _tol_err_fn(n_steps, n_dof, first_step, last, order)
+    if is_constraint:
+        def cfn(x, p, base=fn):
+            w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
+                                 (span, n_dof)).reshape(-1)
+            return base(x, p) * jnp.concatenate([w, w])
+        return ineq_constraint(name, 2 * n, cfn)
+    return hinge_cost(name, 2 * n, fn,
+                      weight_fn=_weight_fn(span, n_dof, doubled=True))
+
+
+def joint_pos_term(name, n_steps, n_dof, **kw) -> Term:
+    return joint_motion_term(name, 0, n_steps, n_dof, **kw)
+
+
+def joint_vel_term(name, n_steps, n_dof, **kw) -> Term:
+    return joint_motion_term(name, 1, n_steps, n_dof, **kw)
+
+
+def joint_acc_term(name, n_steps, n_dof, **kw) -> Term:
+    return joint_motion_term(name, 2, n_steps, n_dof, **kw)
+
+
+def joint_jerk_term(name, n_steps, n_dof, **kw) -> Term:
+    return joint_motion_term(name, 3, n_steps, n_dof, **kw)
