@@ -1,0 +1,111 @@
+"""Collision planning end-to-end tests.
+
+Analogs of the reference integration suites (SURVEY.md §4.3):
+- simple_collision_unit: 1-step spherebot pushed out of collision
+  (simple_collision_test.json semantics: collision cost dist_pen 0.3 +
+  collision constraint dist_pen 0.2 + joint_pos cost to the origin);
+- cast_cost_unit / box_cast_test.json: 3-step boxbot diagonal move with
+  fixed endpoints must bow the middle step around the obstacle, verified
+  with an independent swept collision check;
+- a 7-DoF arm-over-table plan (planning_unit analog).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from trajopt_tpu.collision.world import build_collision_world
+from trajopt_tpu.models import arm7, boxbot, spherebot
+from trajopt_tpu.ops.qp import QPSettings
+from trajopt_tpu.problem.trajectory import (
+    TrajProblemBuilder,
+    interpolated_init,
+    stationary_init,
+)
+from trajopt_tpu.solver.sqp import solve
+from trajopt_tpu.solver.types import CONVERGED, SQPParams
+from trajopt_tpu.terms.collision import (
+    cast_collision_term,
+    discrete_collision_term,
+    trajectory_in_collision,
+)
+from trajopt_tpu.terms.joint import joint_pos_term, joint_vel_term
+
+PARAMS = SQPParams(qp=QPSettings(eps_abs=1e-6, eps_rel=1e-8, max_iter=4000))
+
+
+def test_simple_collision_spherebot():
+    m, chain = spherebot()
+    world = build_collision_world(m, chain)
+    b = TrajProblemBuilder(chain, n_steps=1)
+    b.add_cost(discrete_collision_term("coll_cost", world, 1),
+               {"margins": 0.3, "coeffs": 1.0})
+    b.add_cost(joint_pos_term("pos", 1, 2),
+               {"targets": jnp.zeros(2), "coeffs": jnp.ones(2)})
+    b.add_constraint(
+        discrete_collision_term("coll_cnt", world, 1, is_constraint=True),
+        {"margins": 0.2, "coeffs": 1.0})
+    spec, data = b.build(jnp.array([[-0.75, 0.75]]))
+    res = solve(spec, data, PARAMS)
+    assert int(res.status) == CONVERGED
+    # constraint: center distance >= 1.0 (radii) + 0.2 margin
+    d = float(np.linalg.norm(np.asarray(res.x)))
+    assert d >= 1.2 - 1e-3
+    # pulled as close to the origin as the margin allows
+    assert d <= 1.35
+
+
+def test_box_cast_boxbot():
+    # box_cast_test.json semantics: 3 steps, fixed ends, swept collision
+    m, chain = boxbot()
+    world = build_collision_world(m, chain)
+    T, D = 3, 2
+    init = jnp.array([[-1.9, 0.0], [0.0, 1.9], [1.9, 3.8]])
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_vel_term("jvel", T, D),
+               {"targets": jnp.zeros(D), "coeffs": jnp.ones(D)})
+    b.add_cost(cast_collision_term("cast", world, T, n_sub=64),
+               {"margins": 0.04, "coeffs": 10.0})
+    b.add_constraint(
+        joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
+                       is_constraint=True),
+        {"targets": init[-1], "coeffs": jnp.ones(D)})
+    b.fix_timestep(0)
+    b.fix_timestep(T - 1)
+    spec, data = b.build(init)
+    res = solve(spec, data, PARAMS)
+    X = np.asarray(res.x).reshape(T, D)
+    assert int(res.status) == CONVERGED
+    # endpoints pinned
+    np.testing.assert_allclose(X[0], np.asarray(init[0]), atol=1e-6)
+    np.testing.assert_allclose(X[2], np.asarray(init[2]), atol=1e-6)
+    # independent swept check: trajectory must be (near) collision-free
+    min_d = float(trajectory_in_collision(world, jnp.asarray(X), n_sub=64))
+    assert min_d > -5e-3, f"swept min distance {min_d}"
+
+
+def test_arm7_plan_over_table():
+    # 7-DoF arm moving across the table without touching it
+    m, chain = arm7()
+    world = build_collision_world(m, chain)
+    T, D = 12, 7
+    # straight-line joint interpolation dips the forearm into the table
+    # mid-sweep (min distance ~ -0.06); endpoints are clear (~ +0.09)
+    q_start = jnp.asarray([-1.1, 1.6, 0.0, -0.8, 0.0, 0.5, 0.0])
+    q_goal = jnp.asarray([1.1, 1.6, 0.0, -0.8, 0.0, 0.5, 0.0])
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_vel_term("jvel", T, D),
+               {"targets": jnp.zeros(D), "coeffs": jnp.full(D, 5.0)})
+    b.add_cost(cast_collision_term("cast", world, T, n_sub=6),
+               {"margins": 0.03, "coeffs": 20.0})
+    b.add_constraint(
+        joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
+                       is_constraint=True),
+        {"targets": q_goal, "coeffs": jnp.ones(D)})
+    b.fix_timestep(0)
+    spec, data = b.build(interpolated_init(q_start, q_goal, T))
+    res = solve(spec, data, PARAMS)
+    assert int(res.status) == CONVERGED
+    X = np.asarray(res.x).reshape(T, D)
+    min_d = float(trajectory_in_collision(world, jnp.asarray(X), n_sub=24))
+    assert min_d > -5e-3, f"swept min distance {min_d}"
+    np.testing.assert_allclose(X[-1], np.asarray(q_goal), atol=1e-3)

@@ -1,0 +1,138 @@
+"""Differentiable convex signed-distance functions (sphere/capsule/box).
+
+TPU-native replacement for the narrow slice of tesseract's contact managers
+(Bullet/FCL) that the reference consumes (SURVEY.md §1: "signed-distance
+collision checking with contact points/normals", used at
+trajopt/src/collision_terms.cpp:203-323).
+
+Design decisions (TPU-first):
+- *No witness-point plumbing*: every distance function is a smooth-enough
+  pure jnp function of the geometry poses, so ``jacfwd`` through
+  FK -> pose -> distance yields exactly the reference's contact-normal
+  gradient  n . (J_pa - J_pb)  on smooth regions and a valid subgradient at
+  clamps/argmax picks — no hand-built jacobianChangeRefPoint chain.
+- Signed inside/outside: penetration returns negative distance (box SDF is
+  exact inside; box-box uses SAT depth), which the hinge terms need.
+- Static shapes only; `where`-guards instead of branches.
+
+Conventions: boxes are (center, rotation, half-extents); capsules are
+(endpoint a, endpoint b, radius); spheres (center, radius).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def d_sphere_sphere(c1, r1, c2, r2):
+    return jnp.linalg.norm(c1 - c2) - (r1 + r2)
+
+
+def _closest_on_segment(a, b, p):
+    """Closest point to p on segment [a, b] (differentiable via clamp)."""
+    d = b - a
+    t = jnp.dot(p - a, d) / jnp.maximum(jnp.dot(d, d), _EPS)
+    return a + jnp.clip(t, 0.0, 1.0) * d
+
+
+def d_sphere_capsule(c, r, a, b, rc):
+    p = _closest_on_segment(a, b, c)
+    return jnp.linalg.norm(c - p) - (r + rc)
+
+
+def _seg_seg_closest(a1, b1, a2, b2):
+    """Closest points on two segments (Ericson, clamped; parallel-safe)."""
+    d1 = b1 - a1
+    d2 = b2 - a2
+    r = a1 - a2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > _EPS, jnp.clip((b * f - c * e) / jnp.maximum(denom, _EPS), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, _EPS)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, _EPS), 0.0, 1.0)
+    p1 = a1 + s * d1
+    p2 = a2 + t_cl * d2
+    return p1, p2
+
+
+def d_capsule_capsule(a1, b1, r1, a2, b2, r2):
+    p1, p2 = _seg_seg_closest(a1, b1, a2, b2)
+    return jnp.linalg.norm(p1 - p2) - (r1 + r2)
+
+
+def sdf_box_point(p, bc, bR, bh):
+    """Exact signed distance of a point to an oriented box."""
+    local = bR.T @ (p - bc)
+    q = jnp.abs(local) - bh
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0))
+    inside = jnp.minimum(jnp.max(q), 0.0)
+    return outside + inside
+
+
+def d_sphere_box(c, r, bc, bR, bh):
+    return sdf_box_point(c, bc, bR, bh) - r
+
+
+def d_capsule_box(a, b, r, bc, bR, bh, iters: int = 12):
+    """Capsule vs box by alternating projection segment<->box.
+
+    Converges for separated convex sets; for penetration the final point's
+    interior SDF gives a usable depth.  ``iters`` is static.
+    """
+    local_a = bR.T @ (a - bc)
+    local_b = bR.T @ (b - bc)
+
+    def clamp_box(p):
+        return jnp.clip(p, -bh, bh)
+
+    s = 0.5
+    for _ in range(iters):
+        p_seg = local_a + s * (local_b - local_a)
+        p_box = clamp_box(p_seg)
+        d = local_b - local_a
+        s = jnp.clip(jnp.dot(p_box - local_a, d) /
+                     jnp.maximum(jnp.dot(d, d), _EPS), 0.0, 1.0)
+    p_seg = local_a + s * (local_b - local_a)
+    q = jnp.abs(p_seg) - bh
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0))
+    inside = jnp.minimum(jnp.max(q), 0.0)
+    return outside + inside - r
+
+
+def d_box_box(c1, R1, h1, c2, R2, h2):
+    """Separating-axis signed distance between oriented boxes.
+
+    max over the 15 SAT axes of the per-axis separation; exact for
+    face-contact separation and for penetration depth, a tight lower bound
+    in edge-corner cases — the standard physics-engine treatment.
+    """
+    d = c2 - c1
+    axes = [R1[:, 0], R1[:, 1], R1[:, 2], R2[:, 0], R2[:, 1], R2[:, 2]]
+    for i in range(3):
+        for j in range(3):
+            cr = jnp.cross(R1[:, i], R2[:, j])
+            n = jnp.linalg.norm(cr)
+            # guard parallel edges: fall back to a face axis (zero weight via
+            # sep -> -inf exclusion is wrong; instead keep axis but normalize
+            # safely and mask degenerate axes out below)
+            axes.append(jnp.where(n > 1e-8, cr / jnp.maximum(n, _EPS),
+                                  jnp.zeros(3)))
+    seps = []
+    for u in axes:
+        valid = jnp.dot(u, u) > 0.5
+        ra = (jnp.abs(h1[0] * jnp.dot(u, R1[:, 0])) +
+              jnp.abs(h1[1] * jnp.dot(u, R1[:, 1])) +
+              jnp.abs(h1[2] * jnp.dot(u, R1[:, 2])))
+        rb = (jnp.abs(h2[0] * jnp.dot(u, R2[:, 0])) +
+              jnp.abs(h2[1] * jnp.dot(u, R2[:, 1])) +
+              jnp.abs(h2[2] * jnp.dot(u, R2[:, 2])))
+        sep = jnp.abs(jnp.dot(u, d)) - (ra + rb)
+        seps.append(jnp.where(valid, sep, -jnp.inf))
+    return jnp.max(jnp.stack(seps))

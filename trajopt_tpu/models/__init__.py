@@ -103,7 +103,7 @@ ARM7_URDF = """
   </link>
   <link name="tool"/>
   <link name="table">
-    <collision><geometry><box size="1.2 1.2 0.1"/></geometry></collision>
+    <collision><geometry><box size="0.8 1.2 0.06"/></geometry></collision>
   </link>
 
   <joint name="j1" type="revolute">
@@ -138,7 +138,7 @@ ARM7_URDF = """
     <origin xyz="0 0 0.08"/><parent link="l7"/><child link="tool"/>
   </joint>
   <joint name="table_fix" type="fixed">
-    <origin xyz="0.65 0 0.35"/><parent link="base"/><child link="table"/>
+    <origin xyz="0.75 0 0.30"/><parent link="base"/><child link="table"/>
   </joint>
 </robot>
 """

@@ -1,0 +1,117 @@
+"""Collision cost/constraint terms: discrete and swept (cast/LVS).
+
+TPU-native equivalents of the reference collision terms
+(trajopt/src/collision_terms.cpp):
+
+- err rows are ``margin - dist`` per candidate pair per (sub)step;
+  hinge cost ``coeff * max(0, margin - dist)``  (CollisionCost::convex,
+  collision_terms.cpp:1283-1327) or INEQ constraint rows
+  (CollisionConstraint::convex, :1368-1389);
+- discrete: one row block per trajectory step in [first, last]
+  (SingleTimestepCollisionEvaluator);
+- cast: one row block per step gap, swept distance between consecutive
+  configurations (CastCollisionEvaluator / LVS evaluators — see
+  collision.world.cast_pair_distances for the exact-sphere-sweep +
+  substate-min strategy); autodiff through the interpolation reproduces the
+  reference's cc_time-weighted two-endpoint gradient split
+  (collision_terms.cpp:262-323).
+
+params: {"margins": (n_pairs,), "coeffs": (n_pairs,)} (scalars broadcast).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..collision.world import CollisionWorld
+from .base import Term, hinge_cost, ineq_constraint
+
+
+def _bcast(v, n, dtype):
+    return jnp.broadcast_to(jnp.asarray(v, dtype), (n,))
+
+
+def discrete_collision_term(
+    name: str,
+    world: CollisionWorld,
+    n_steps: int,
+    first_step: int = 0,
+    last_step: Optional[int] = None,
+    is_constraint: bool = False,
+) -> Term:
+    n_dof = world.chain.n_dof
+    last = (n_steps - 1) if last_step is None else last_step
+    span = last - first_step + 1
+    P = world.n_pairs
+    n = span * P
+
+    def fn(x, p):
+        X = x.reshape(n_steps, n_dof)[first_step:last + 1]
+        dists = jax.vmap(world.pair_distances)(X)  # (span, P)
+        margins = _bcast(p["margins"], P, x.dtype)
+        return (margins[None, :] - dists).reshape(-1)
+
+    def wf(p):
+        w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
+        return jnp.tile(w, span)
+
+    if is_constraint:
+        def cfn(x, p):
+            w = _bcast(p["coeffs"], P, x.dtype)
+            return fn(x, p) * jnp.tile(w, span)
+        return ineq_constraint(name, n, cfn)
+    return hinge_cost(name, n, fn, weight_fn=wf)
+
+
+def cast_collision_term(
+    name: str,
+    world: CollisionWorld,
+    n_steps: int,
+    first_step: int = 0,
+    last_step: Optional[int] = None,
+    n_sub: int = 8,
+    is_constraint: bool = False,
+) -> Term:
+    """Swept-volume collision over each step gap in [first, last-1]."""
+    n_dof = world.chain.n_dof
+    last = (n_steps - 1) if last_step is None else last_step
+    n_gaps = last - first_step
+    assert n_gaps >= 1
+    P = world.n_pairs
+    n = n_gaps * P
+
+    def fn(x, p):
+        X = x.reshape(n_steps, n_dof)
+        qa = X[first_step:last]
+        qb = X[first_step + 1:last + 1]
+        dists = jax.vmap(
+            lambda a, b: world.cast_pair_distances(a, b, n_sub))(qa, qb)
+        margins = _bcast(p["margins"], P, x.dtype)
+        return (margins[None, :] - dists).reshape(-1)
+
+    def wf(p):
+        w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
+        return jnp.tile(w, n_gaps)
+
+    if is_constraint:
+        def cfn(x, p):
+            w = _bcast(p["coeffs"], P, x.dtype)
+            return fn(x, p) * jnp.tile(w, n_gaps)
+        return ineq_constraint(name, n, cfn)
+    return hinge_cost(name, n, fn, weight_fn=wf)
+
+
+def trajectory_in_collision(world: CollisionWorld, X: jax.Array,
+                            margin: float = 0.0, n_sub: int = 16) -> jax.Array:
+    """Independent swept check of a final trajectory (the reference's
+    post-solve verification pattern, planning_unit.cpp:98-148).
+
+    Returns the minimum swept distance over all gaps/pairs; >= margin means
+    collision-free.
+    """
+    qa, qb = X[:-1], X[1:]
+    d = jax.vmap(lambda a, b: world.cast_pair_distances(a, b, n_sub))(qa, qb)
+    return jnp.min(d)
