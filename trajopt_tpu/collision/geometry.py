@@ -106,6 +106,44 @@ def d_capsule_box(a, b, r, bc, bR, bh, iters: int = 12):
     return outside + inside - r
 
 
+def d_swept_box_box(c1a, c1b, R1, h1, c2, R2, h2):
+    """Exact SAT distance between a *translating* box (pose R1 fixed, center
+    sweeping c1a -> c1b) and a static box.
+
+    The swept volume of a translating box is a zonotope with generators
+    {R1 columns * h1, motion/2}; SAT over its face normals (pairwise
+    generator crosses), the static box's face normals, and edge-cross axes
+    is exact for convex polytopes.  This is the cast-collision analog of the
+    reference's convex-hull-of-two-poses check (CastCollisionEvaluator) for
+    prismatic-only motion.
+    """
+    mid = 0.5 * (c1a + c1b)
+    m = 0.5 * (c1b - c1a)
+    gens = [R1[:, 0] * h1[0], R1[:, 1] * h1[1], R1[:, 2] * h1[2], m]
+    d = c2 - mid
+
+    axes = [R2[:, 0], R2[:, 1], R2[:, 2]]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            axes.append(jnp.cross(gens[i], gens[j]))
+    for i in range(4):
+        for j in range(3):
+            axes.append(jnp.cross(gens[i], R2[:, j]))
+
+    seps = []
+    for u in axes:
+        n = jnp.linalg.norm(u)
+        un = u / jnp.maximum(n, _EPS)
+        valid = n > 1e-8
+        rz = sum(jnp.abs(jnp.dot(un, g)) for g in gens)
+        rb = (jnp.abs(h2[0] * jnp.dot(un, R2[:, 0])) +
+              jnp.abs(h2[1] * jnp.dot(un, R2[:, 1])) +
+              jnp.abs(h2[2] * jnp.dot(un, R2[:, 2])))
+        sep = jnp.abs(jnp.dot(un, d)) - (rz + rb)
+        seps.append(jnp.where(valid, sep, -jnp.inf))
+    return jnp.max(jnp.stack(seps))
+
+
 def d_box_box(c1, R1, h1, c2, R2, h2):
     """Separating-axis signed distance between oriented boxes.
 

@@ -119,19 +119,31 @@ class CollisionWorld:
             lambda s: self.pair_distances(qa + s * (qb - qa)))(ss)
         d_min = jnp.min(sub_d, axis=0)  # (n_pairs,)
 
+        # translation-only chains (all-prismatic) keep link rotations fixed,
+        # enabling the exact swept-box zonotope SAT
+        translation_only = not bool(
+            (np.asarray(self.chain.jtype)[np.asarray(self.chain.link_of_dof)]
+             == 1).any()) if self.chain.n_dof else True
+
         out = []
         for k, (i, j) in enumerate(self.pairs):
             gi, gj = self.geoms[i], self.geoms[j]
             exact = None
-            # exact swept capsule: moving sphere vs static geom
             for a, b in ((gi, gj), (gj, gi)):
-                if (a.kind == SPHERE and moving[a.link]
-                        and not moving[b.link] and exact is None):
+                if exact is not None or moving[b.link] or not moving[a.link]:
+                    continue
+                if a.kind == SPHERE:
+                    # exact swept capsule: moving sphere vs static geom
                     ca = Ra[a.link] @ jnp.asarray(a.off_p, dt) + pa[a.link]
                     cb = Rb[a.link] @ jnp.asarray(a.off_p, dt) + pb[a.link]
                     wb = self._world_geom(b, Ra, pa, dt)
-                    cap = ("c", ca, cb, a.radius)
-                    exact = self._dist(cap, wb)
+                    exact = self._dist(("c", ca, cb, a.radius), wb)
+                elif a.kind == BOX and b.kind == BOX and translation_only:
+                    wa_a = self._world_geom(a, Ra, pa, dt)
+                    wa_b = self._world_geom(a, Rb, pb, dt)
+                    wb = self._world_geom(b, Ra, pa, dt)
+                    exact = G.d_swept_box_box(wa_a[1], wa_b[1], wa_a[2],
+                                              wa_a[3], wb[1], wb[2], wb[3])
             out.append(exact if exact is not None else d_min[k])
         return jnp.stack(out)
 

@@ -1,0 +1,228 @@
+"""Reference-schema-compatible JSON problem documents.
+
+Parses the de-facto public TrajOpt problem format
+(``ProblemConstructionInfo::fromJson``,
+trajopt/src/problem_description.cpp:118-308 and the term registry
+:53-66) into a (spec, data, SQPParams) triple:
+
+  {"basic_info":  {"n_steps", "manip", "fixed_timesteps", ...},
+   "opt_info":    { 18 SQP knobs ... },
+   "costs":       [ {"type", "name", "params": {...}}, ... ],
+   "constraints": [ ... ],
+   "init_info":   {"type": "stationary"|"joint_interpolated"|"given_traj",
+                   "data": ..., "endpoint": ...}}
+
+Supported term types: joint_pos, joint_vel, joint_acc, joint_jerk,
+cart_pose, cart_vel, collision.  Unknown fields are rejected
+(ensure_only_members, problem_description.cpp:32-51); scalars broadcast to
+per-dof vectors (checkParameterSize, :75-89).
+
+Time-parameterized (`use_time`) variants are not yet supported (the
+reference itself marks several unimplemented, problem_description.cpp:
+931-938).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..collision.world import CollisionWorld
+from ..kinematics.chain import Chain
+from ..ops.lie import quat_wxyz_to_matrix
+from ..ops.qp import QPSettings
+from ..solver.types import SQPParams
+from ..terms.cartesian import cart_pose_term, cart_vel_term, default_cart_pose_params
+from ..terms.collision import cast_collision_term, discrete_collision_term
+from ..terms.joint import joint_motion_term
+from .trajectory import TrajProblemBuilder, interpolated_init, stationary_init
+
+_JOINT_ORDERS = {"joint_pos": 0, "joint_vel": 1, "joint_acc": 2, "joint_jerk": 3}
+
+
+def _only(params: dict, allowed: set, ctx: str):
+    extra = set(params) - allowed
+    if extra:
+        raise ValueError(f"unknown fields {extra} in {ctx}")
+
+
+def _vec(v, n, name) -> np.ndarray:
+    a = np.atleast_1d(np.asarray(v, dtype=np.float64))
+    if a.size == 1:
+        a = np.full(n, float(a[0]))
+    if a.size != n:
+        raise ValueError(f"{name}: expected size {n} or 1, got {a.size}")
+    return a
+
+
+def _opt_params(opt: dict) -> SQPParams:
+    _only(opt, {
+        "improve_ratio_threshold", "min_trust_box_size", "min_approx_improve",
+        "min_approx_improve_frac", "max_iter", "trust_shrink_ratio",
+        "trust_expand_ratio", "cnt_tolerance", "max_merit_coeff_increases",
+        "merit_coeff_increase_ratio", "max_time", "initial_merit_error_coeff",
+        "trust_box_size", "log_results", "log_dir", "num_threads",
+        "inflate_constraints_individually", "max_qp_solver_failures",
+    }, "opt_info")
+    kw = {}
+    for k in ("improve_ratio_threshold", "min_trust_box_size",
+              "min_approx_improve", "min_approx_improve_frac",
+              "trust_shrink_ratio", "trust_expand_ratio", "cnt_tolerance",
+              "merit_coeff_increase_ratio", "initial_merit_error_coeff",
+              "trust_box_size"):
+        if k in opt:
+            kw[k] = float(opt[k])
+    for k in ("max_iter", "max_merit_coeff_increases", "max_qp_solver_failures"):
+        if k in opt:
+            kw[k] = int(opt[k])
+    if "inflate_constraints_individually" in opt:
+        kw["inflate_constraints_individually"] = bool(
+            opt["inflate_constraints_individually"])
+    return SQPParams(**kw)
+
+
+def load_problem(doc: dict | str, chain: Chain,
+                 world: Optional[CollisionWorld] = None,
+                 qp: Optional[QPSettings] = None,
+                 n_sub: int = 8):
+    """Build (spec, data, params) from a reference-format JSON document."""
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+
+    basic = doc.get("basic_info", {})
+    T = int(basic["n_steps"])
+    D = chain.n_dof
+    b = TrajProblemBuilder(chain, T)
+
+    for s in basic.get("fixed_timesteps", []):
+        b.fix_timestep(int(s))
+    for d in basic.get("fixed_dofs", []):
+        b.fix_dof(int(d))
+
+    def add_term(entry: dict, is_constraint: bool, idx: int):
+        ttype = entry["type"]
+        name = entry.get("name", f"{ttype}_{idx}")
+        params = dict(entry.get("params", {}))
+
+        if ttype in _JOINT_ORDERS:
+            order = _JOINT_ORDERS[ttype]
+            _only(params, {"coeffs", "targets", "upper_tols", "lower_tols",
+                           "first_step", "last_step", "use_time"}, ttype)
+            first = int(params.get("first_step", 0))
+            last = int(params.get("last_step", T - 1))
+            up = _vec(params.get("upper_tols", 0.0), D, "upper_tols")
+            lo = _vec(params.get("lower_tols", 0.0), D, "lower_tols")
+            toleranced = bool(np.any(up != 0.0) or np.any(lo != 0.0))
+            term = joint_motion_term(name, order, T, D, first_step=first,
+                                     last_step=last,
+                                     is_constraint=is_constraint,
+                                     toleranced=toleranced)
+            p = {"targets": jnp.asarray(_vec(params.get("targets", 0.0), D,
+                                             "targets")),
+                 "coeffs": jnp.asarray(_vec(params.get("coeffs", 1.0), D,
+                                            "coeffs"))}
+            if toleranced:
+                p["upper_tols"] = jnp.asarray(up)
+                p["lower_tols"] = jnp.asarray(lo)
+            return term, p
+
+        if ttype == "cart_pose":
+            _only(params, {"timestep", "source_frame", "target_frame",
+                           "source_frame_offset_xyz", "source_frame_offset_wxyz",
+                           "target_frame_offset_xyz", "target_frame_offset_wxyz",
+                           "pos_coeffs", "rot_coeffs"}, ttype)
+            step = int(params.get("timestep", T - 1))
+            source = params["source_frame"]
+            target = params.get("target_frame")
+            # a target that is a chain link => link-relative (dynamic) target;
+            # otherwise it names the fixed base/world frame
+            target_is_link = (target in chain.link_names
+                              and bool(chain.ancestor[
+                                  chain.link_index(target)].any()))
+            toff_p = jnp.asarray(params.get("target_frame_offset_xyz",
+                                            [0, 0, 0]), jnp.float64)
+            toff_R = quat_wxyz_to_matrix(jnp.asarray(
+                params.get("target_frame_offset_wxyz", [1, 0, 0, 0]),
+                jnp.float64))
+            soff_p = jnp.asarray(params.get("source_frame_offset_xyz",
+                                            [0, 0, 0]), jnp.float64)
+            soff_R = quat_wxyz_to_matrix(jnp.asarray(
+                params.get("source_frame_offset_wxyz", [1, 0, 0, 0]),
+                jnp.float64))
+            term = cart_pose_term(
+                name, chain, T, step, source,
+                target_link=target if target_is_link else None,
+                is_constraint=is_constraint, kind="abs")
+            p = default_cart_pose_params(
+                target_R=toff_R, target_p=toff_p,
+                pos_coeffs=jnp.asarray(_vec(params.get("pos_coeffs", 1.0), 3,
+                                            "pos_coeffs")),
+                rot_coeffs=jnp.asarray(_vec(params.get("rot_coeffs", 1.0), 3,
+                                            "rot_coeffs")),
+                source_off_R=soff_R, source_off_p=soff_p)
+            return term, p
+
+        if ttype == "cart_vel":
+            _only(params, {"first_step", "last_step", "max_displacement",
+                           "link"}, ttype)
+            term = cart_vel_term(
+                name, chain, T, params["link"],
+                first_step=int(params.get("first_step", 0)),
+                last_step=int(params.get("last_step", T - 1)),
+                is_constraint=is_constraint)
+            return term, {"max_displacement":
+                          jnp.asarray(float(params["max_displacement"]))}
+
+        if ttype == "collision":
+            if world is None:
+                raise ValueError("collision term requires a CollisionWorld")
+            _only(params, {"coeffs", "dist_pen", "evaluator_type",
+                           "fixed_steps", "first_step", "last_step",
+                           "longest_valid_segment_length", "use_weighted_sum",
+                           "contact_test_type"}, ttype)
+            ev = int(params.get("evaluator_type", 1))
+            first = int(params.get("first_step", 0))
+            last = int(params.get("last_step", T - 1))
+            coeffs = float(np.atleast_1d(params.get("coeffs", 20.0))[0])
+            margin = float(params.get("dist_pen", 0.025))
+            if ev <= 1 or T == 1:  # DISCRETE (or single step)
+                term = discrete_collision_term(
+                    name, world, T, first_step=first, last_step=last,
+                    is_constraint=is_constraint)
+            else:  # LVS_DISCRETE / CONTINUOUS / LVS_CONTINUOUS -> swept
+                term = cast_collision_term(
+                    name, world, T, first_step=first, last_step=last,
+                    n_sub=n_sub, is_constraint=is_constraint)
+            return term, {"margins": jnp.asarray(margin),
+                          "coeffs": jnp.asarray(coeffs)}
+
+        raise ValueError(f"unsupported term type: {ttype}")
+
+    for i, c in enumerate(doc.get("costs", [])):
+        term, p = add_term(c, is_constraint=False, idx=i)
+        b.add_cost(term, p)
+    for i, c in enumerate(doc.get("constraints", [])):
+        term, p = add_term(c, is_constraint=True, idx=i)
+        b.add_constraint(term, p)
+
+    init = doc.get("init_info", {"type": "stationary"})
+    itype = init.get("type", "stationary")
+    if itype == "given_traj":
+        X0 = jnp.asarray(np.asarray(init["data"], dtype=np.float64))
+        if X0.shape != (T, D):
+            raise ValueError(f"init data shape {X0.shape} != {(T, D)}")
+    elif itype == "joint_interpolated":
+        q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
+        X0 = interpolated_init(q0, jnp.asarray(init["endpoint"]), T)
+    else:  # stationary
+        q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
+        X0 = stationary_init(q0, T)
+
+    spec, data = b.build(X0)
+    params = _opt_params(doc.get("opt_info", {}))
+    if qp is not None:
+        params = SQPParams(**{**params.__dict__, "qp": qp})
+    return spec, data, params

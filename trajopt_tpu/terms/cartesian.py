@@ -95,6 +95,41 @@ def default_cart_pose_params(target_R=None, target_p=None, pos_coeffs=1.0,
     }
 
 
+def upright_term(
+    name: str,
+    chain: Chain,
+    n_steps: int,
+    link: str,
+    first_step: int = 0,
+    last_step: Optional[int] = None,
+    is_constraint: bool = True,
+) -> Term:
+    """Keep a link's local +z axis parallel to world +z (the classic
+    "glass upright" task): rows are the world x/y components of the link
+    z-axis at each step, scaled by params["coeffs"] (2,).
+
+    Equivalent to a coeff-masked cart_pose orientation constraint with the
+    yaw row disabled (reference: CartPoseTermInfo rot_coeffs masking,
+    problem_description.cpp:901-987) but cheaper: no log map.
+    """
+    n_dof = chain.n_dof
+    li = chain.link_index(link)
+    last = (n_steps - 1) if last_step is None else last_step
+    span = last - first_step + 1
+
+    def fn(x, p):
+        import jax
+        X = x.reshape(n_steps, n_dof)[first_step:last + 1]
+        zaxes = jax.vmap(lambda q: chain.fk(q)[0][li][:2, 2])(X)  # (span, 2)
+        c = jnp.broadcast_to(jnp.asarray(p["coeffs"], x.dtype), (2,))
+        return (zaxes * c[None, :]).reshape(-1)
+
+    n = 2 * span
+    if is_constraint:
+        return eq_constraint(name, n, fn)
+    return squared_cost(name, n, fn)
+
+
 def cart_vel_term(
     name: str,
     chain: Chain,
