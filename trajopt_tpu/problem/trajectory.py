@@ -46,6 +46,11 @@ class TrajProblemBuilder:
 
     chain: Chain
     n_steps: int
+    # time parameterization: adds a 1/dt column (reference use_time,
+    # problem_description.cpp:553-592); bounds are [1/dt_upper, 1/dt_lower]
+    use_time: bool = False
+    dt_lower: float = 1e-3
+    dt_upper: float = 1.0
 
     def __post_init__(self):
         self._cost_terms: list[Term] = []
@@ -60,8 +65,12 @@ class TrajProblemBuilder:
         return self.chain.n_dof
 
     @property
+    def n_cols(self) -> int:
+        return self.n_dof + (1 if self.use_time else 0)
+
+    @property
     def n_x(self) -> int:
-        return self.n_steps * self.n_dof
+        return self.n_steps * self.n_cols
 
     def add_cost(self, term: Term, params: Any = ()):
         self._cost_terms.append(term)
@@ -83,12 +92,25 @@ class TrajProblemBuilder:
         self._fixed_dofs.append(dof)
         return self
 
-    def build(self, init_traj: jax.Array):
-        """Returns (spec, data) for the given (n_steps, n_dof) init traj."""
-        T, D = self.n_steps, self.n_dof
-        init = jnp.asarray(init_traj).reshape(T, D)
+    def build(self, init_traj: jax.Array, init_dt: float = 0.1):
+        """Returns (spec, data) for the given (n_steps, n_dof) init traj.
+
+        With ``use_time`` the init traj may already carry the inv_dt column
+        (n_dof+1 columns) or it is appended as 1/init_dt.
+        """
+        T, D = self.n_steps, self.n_cols
+        init = jnp.asarray(init_traj)
+        if self.use_time and init.shape[-1] == self.n_dof:
+            col = jnp.full((T, 1), 1.0 / init_dt, init.dtype)
+            init = jnp.concatenate([init.reshape(T, self.n_dof), col], axis=1)
+        init = init.reshape(T, D)
         lb = jnp.tile(jnp.asarray(self.chain.lb)[None, :], (T, 1))
         ub = jnp.tile(jnp.asarray(self.chain.ub)[None, :], (T, 1))
+        if self.use_time:
+            lb = jnp.concatenate(
+                [lb, jnp.full((T, 1), 1.0 / self.dt_upper, lb.dtype)], axis=1)
+            ub = jnp.concatenate(
+                [ub, jnp.full((T, 1), 1.0 / self.dt_lower, ub.dtype)], axis=1)
         for s in self._fixed_steps:
             lb = lb.at[s].set(init[s])
             ub = ub.at[s].set(init[s])
