@@ -15,7 +15,11 @@ from trajopt_tpu.solver.types import CONVERGED, SQPParams
 from trajopt_tpu.terms.joint import joint_pos_term
 from trajopt_tpu.terms.time import timed_joint_vel_term, total_time_term
 
-PARAMS = SQPParams(qp=QPSettings(eps_abs=1e-7, eps_rel=1e-9, max_iter=6000))
+# min-time problems are LP-like (pure L1 objective, degenerate optima) and
+# take more SQP steps; the reference's small-problem suite also raises
+# max_iter to 1000 for such cases
+PARAMS = SQPParams(max_iter=400,
+                   qp=QPSettings(eps_abs=1e-7, eps_rel=1e-9, max_iter=6000))
 
 
 def test_min_time_under_velocity_limit():

@@ -127,8 +127,9 @@ def ruiz_equilibrate(data: QPData, iters: int) -> tuple[QPData, _Scaling]:
         # cost scaling (OSQP): gamma = 1/max(mean col norm of P, ||q||_inf)
         pc = jnp.mean(_inf_norm_cols(P))
         qn = jnp.max(jnp.abs(q)) if n > 0 else jnp.asarray(0.0, dt)
-        denom = jnp.maximum(jnp.maximum(pc, qn), 1e-12)
-        gamma = 1.0 / denom
+        denom = jnp.maximum(pc, qn)
+        # zero objective (P == 0, q == 0) must NOT explode the cost scaling
+        gamma = jnp.where(denom > 1e-12, 1.0 / jnp.maximum(denom, 1e-12), 1.0)
         P = P * gamma
         q = q * gamma
         c = c * gamma

@@ -32,7 +32,9 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.qp import OSQP_INFTY, QPData, QPSolution, _solve_qp
+from ..ops.prox_qp import ProxQPData
+from ..ops.qp import OSQP_INFTY
+from ..ops.struct_qp import solve_struct_qp
 from ..terms.base import Term, TermKind
 from .types import (
     CONVERGED,
@@ -202,60 +204,28 @@ def _merit_row_weights(plan: _Plan, cvx: _Cvx, merit: jax.Array):
 
 
 # --------------------------------------------------------------------------
-# QP assembly — layout [dx | hinge slacks h | abs slacks p | abs slacks n]
-# (reference layout doc: trajopt_sqp/src/trajopt_qp_problem.cpp:28-34)
+# QP assembly — slack-free composite form (see ops.prox_qp).  The reference's
+# slack layout (trajopt_qp_problem.cpp:28-34) is mathematically equivalent;
+# here hinge/abs penalties stay as prox terms so the KKT factorization is
+# n_x-sized and merit-coefficient updates never refactorize.
 # --------------------------------------------------------------------------
 
 
 def _assemble_qp(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
                  x: jax.Array, box: jax.Array, lb: jax.Array, ub: jax.Array
-                 ) -> QPData:
-    n_x, m_h, m_a = plan.spec.n_x, plan.m_h, plan.m_a
-    dt = x.dtype
-    n_slack = m_h + 2 * m_a
-    n_qp = n_x + n_slack
-    m_qp = m_h + m_a + n_qp
-
+                 ) -> ProxQPData:
     # objective: squared rows + generic Hessians
     Px = 2.0 * (cvx.J_sq.T * cvx.w_sq[None, :]) @ cvx.J_sq
     Px = Px + jnp.sum(cvx.gen_H, axis=0)
     Px = 0.5 * (Px + Px.T)
     qx = 2.0 * cvx.J_sq.T @ (cvx.w_sq * cvx.err_sq) + jnp.sum(cvx.gen_g, axis=0)
 
-    P = jnp.zeros((n_qp, n_qp), dt).at[:n_x, :n_x].set(Px)
-    q = jnp.concatenate([qx, w_h, w_a, w_a])
-
-    A = jnp.zeros((m_qp, n_qp), dt)
-    eye_h = jnp.eye(m_h, dtype=dt)
-    eye_a = jnp.eye(m_a, dtype=dt)
-    # hinge rows:  err_h + J_h dx - h <= 0
-    A = A.at[:m_h, :n_x].set(cvx.J_h)
-    A = A.at[:m_h, n_x:n_x + m_h].set(-eye_h)
-    # abs rows:    err_a + J_a dx - p + n = 0
-    A = A.at[m_h:m_h + m_a, :n_x].set(cvx.J_a)
-    A = A.at[m_h:m_h + m_a, n_x + m_h:n_x + m_h + m_a].set(-eye_a)
-    A = A.at[m_h:m_h + m_a, n_x + m_h + m_a:].set(eye_a)
-    # bound rows: identity over all QP variables
-    A = A.at[m_h + m_a:, :].set(jnp.eye(n_qp, dtype=dt))
-
-    inf = jnp.asarray(OSQP_INFTY, dt)
     # trust region ∩ variable bounds, in dx coordinates
     # (setTrustBoxConstraints, optimizers.cpp:150-165)
     lx = jnp.maximum(lb, x - box) - x
     ux = jnp.minimum(ub, x + box) - x
-    l = jnp.concatenate([
-        jnp.full((m_h,), -inf, dt),          # hinge rows: one-sided
-        -cvx.err_a,                          # abs rows: equality
-        lx,
-        jnp.zeros((n_slack,), dt),           # slacks >= 0
-    ])
-    u = jnp.concatenate([
-        -cvx.err_h,
-        -cvx.err_a,
-        ux,
-        jnp.full((n_slack,), inf, dt),
-    ])
-    return QPData(P, q, A, l, u)
+    return ProxQPData(P=Px, q=qx, A_h=cvx.J_h, e_h=cvx.err_h, w_h=w_h,
+                      A_a=cvx.J_a, e_a=cvx.err_a, w_a=w_a, lb=lx, ub=ux)
 
 
 # --------------------------------------------------------------------------
@@ -333,6 +303,7 @@ class _State(NamedTuple):
     status: jax.Array
     warm_dx: jax.Array
     warm_y: jax.Array
+    hist: jax.Array
 
 
 def solve(spec: ProblemSpec, data: ProblemData,
@@ -347,9 +318,9 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     p = params
     n_x = spec.n_x
     n_cnt = len(spec.cnt_terms)
-    n_slack = plan.m_h + 2 * plan.m_a
-    n_qp = n_x + n_slack
-    m_qp = plan.m_h + plan.m_a + n_qp
+    # structured slack-QP dimensions (ops.struct_qp): full primal u and duals
+    n_qp = n_x + plan.m_h + 2 * plan.m_a
+    m_qp = plan.m_h + plan.m_a + n_x + plan.m_h + 2 * plan.m_a
 
     x0 = jnp.clip(data.x0, data.lb, data.ub)  # getClosestFeasiblePoint
     dt = x0.dtype
@@ -370,6 +341,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         status=jnp.int32(RUNNING),
         warm_dx=jnp.zeros((n_qp,), dt),
         warm_y=jnp.zeros((m_qp,), dt),
+        hist=jnp.zeros((p.record_history, 10), dt),
     )
 
     def cond(st: _State):
@@ -380,9 +352,8 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         w_h, w_a = _merit_row_weights(plan, cvx, st.merit)
         qp_data = _assemble_qp(plan, cvx, w_h, w_a, st.x, st.box,
                                data.lb, data.ub)
-        sol = _solve_qp(qp_data, p.qp, st.warm_dx, st.warm_y)
-        qp_ok = (sol.status == 1) | (sol.status == 2)
-        dx = sol.x[:n_x]
+        sol = solve_struct_qp(qp_data, p.qp, st.warm_dx, st.warm_y)
+        dx = sol.x
 
         new_x = st.x + dx
         model_costs, model_viols = _model_values(plan, cvx, w_h, w_a, dx)
@@ -394,6 +365,13 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         approx = old_merit - model_merit
         exact = old_merit - new_merit
         ratio = exact / jnp.where(jnp.abs(approx) > 1e-30, approx, 1e-30)
+
+        # A QP result is usable if solved accurately (reference: CVX_SOLVED,
+        # optimizers.cpp:813) OR inaccurate-but-model-improving: an
+        # inaccurate step with approx <= 0 is junk that would falsely
+        # trigger penalty-round "convergence" and merit escalation, so it
+        # goes through the shrink-and-retry failure path instead.
+        qp_ok = (sol.status == 1) | ((sol.status == 2) & (approx > 0))
 
         # ---------------- QP-success decision tree ----------------
         sqp_conv = (approx < p.min_approx_improve) | (
@@ -467,11 +445,22 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
             box1)
         it2 = jnp.where(pa_cont, jnp.int32(0), it1)
 
+        hist = st.hist
+        if p.record_history > 0:
+            row = jnp.stack([
+                old_merit, model_merit, new_merit, approx, exact, ratio,
+                st.box, jnp.max(viol1, initial=jnp.asarray(0.0, dt)),
+                (ok & accept).astype(dt), sol.status.astype(dt),
+            ])
+            idx = jnp.clip(st.n_qp, 0, p.record_history - 1)
+            hist = jax.lax.dynamic_update_slice(
+                hist, row[None, :], (idx, jnp.zeros_like(idx)))
+
         return _State(
             x=x1, box=box2, merit=merit1, cost_vals=cost1, cnt_viols=viol1,
             it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
             n_qp=st.n_qp + 1, n_fev=st.n_fev + 1, status=status2,
-            warm_dx=sol.x, warm_y=sol.y,
+            warm_dx=sol.u, warm_y=sol.y, hist=hist,
         )
 
     st = jax.lax.while_loop(cond, body, st0)
@@ -493,6 +482,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         n_qp_solves=st.n_qp,
         merit_coeffs=st.merit,
         trust_box_size=st.box,
+        history=st.hist,
     )
 
 

@@ -55,7 +55,19 @@ class SQPParams:
     # device-loop safety cap on total QP solves (the reference caps via
     # max_iter per penalty round + bounded trust shrinks; this is a backstop)
     max_total_qp_solves: int = 3000
+    # >0 allocates an on-device iteration-history buffer of that many rows
+    # (the analog of the reference's trajopt_solver.log CSV stream,
+    # optimizers.cpp:703-713); see HISTORY_FIELDS.
+    record_history: int = 0
     qp: QPSettings = QPSettings()
+
+
+# columns of SQPResult.history when record_history > 0
+HISTORY_FIELDS = (
+    "old_merit", "model_merit", "new_merit", "approx_improve",
+    "exact_improve", "ratio", "trust_box_size", "max_cnt_viol",
+    "accepted", "qp_status",
+)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -101,3 +113,4 @@ class SQPResult(NamedTuple):
     n_qp_solves: jax.Array  # () int32
     merit_coeffs: jax.Array  # (n_cnt,) final penalty coefficients
     trust_box_size: jax.Array  # () final trust region size
+    history: jax.Array  # (record_history, len(HISTORY_FIELDS)); (0, F) if off
