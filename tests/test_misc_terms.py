@@ -1,0 +1,174 @@
+"""Tests: singularity avoidance, user-defined terms, cart_line, checkpoint,
+telemetry, sharding."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trajopt_tpu.models import arm7, spherebot
+from trajopt_tpu.ops.qp import QPSettings
+from trajopt_tpu.problem.trajectory import TrajProblemBuilder, stationary_init
+from trajopt_tpu.solver.sqp import solve
+from trajopt_tpu.solver.types import CONVERGED, SQPParams
+from trajopt_tpu.terms.base import TermKind
+from trajopt_tpu.terms.cartesian import cart_line_term
+from trajopt_tpu.terms.joint import joint_pos_term, joint_vel_term
+from trajopt_tpu.terms.singularity import avoid_singularity_term
+from trajopt_tpu.terms.user import user_defined_term
+
+PARAMS = SQPParams(qp=QPSettings(eps_abs=1e-6, eps_rel=1e-8, max_iter=4000))
+
+
+def test_avoid_singularity_moves_away():
+    _, chain = arm7()
+    T, D = 1, 7
+    # near-straight arm is near-singular; the term should bend it
+    q0 = jnp.asarray([0.0, 0.05, 0.0, 0.05, 0.0, 0.05, 0.0])
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(avoid_singularity_term("sing", chain, T, "tool"),
+               {"coeffs": jnp.asarray(1.0)})
+    b.add_cost(joint_pos_term("stay", T, D),
+               {"targets": q0, "coeffs": jnp.full(D, 0.1)})
+    spec, data = b.build(stationary_init(q0, T))
+    res = solve(spec, data, PARAMS)
+
+    def sig_min(q):
+        J = chain.jacobian(q, chain.link_index("tool"))
+        return float(jnp.linalg.svd(J, compute_uv=False)[-1])
+
+    assert sig_min(res.x) > sig_min(q0) + 1e-3
+
+
+def test_user_defined_constraint():
+    # keep x0 + x1 == 1 at every step via a user term (spherebot, 2 dof)
+    _, chain = spherebot()
+    T, D = 3, 2
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_pos_term("goal", T, D),
+               {"targets": jnp.asarray([2.0, 2.0]), "coeffs": jnp.ones(D)})
+    b.add_constraint(
+        user_defined_term("sum1", TermKind.EQ, T, D,
+                          lambda q, p: jnp.array([q[0] + q[1] - 1.0]), 1),
+        ())
+    spec, data = b.build(stationary_init(jnp.zeros(D), T))
+    res = solve(spec, data, PARAMS)
+    assert int(res.status) == CONVERGED
+    X = np.asarray(res.x).reshape(T, D)
+    np.testing.assert_allclose(X.sum(axis=1), 1.0, atol=1e-4)
+    # symmetric goal -> x == y == 0.5
+    np.testing.assert_allclose(X, 0.5, atol=1e-3)
+
+
+def test_user_defined_analytic_jacobian():
+    _, chain = spherebot()
+    T, D = 2, 2
+    term = user_defined_term(
+        "lin", TermKind.EQ, T, D,
+        lambda q, p: jnp.array([2.0 * q[0] - q[1]]), 1,
+        jac_fn=lambda q, p: jnp.array([[2.0, -1.0]]))
+    x = jnp.asarray([0.3, 0.1, -0.2, 0.5])
+    J = term.jac(x, ())
+    J_auto = jax.jacfwd(lambda xx: term.err(xx, ()))(x)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_auto), atol=1e-12)
+
+
+def test_cart_line():
+    _, chain = arm7()
+    T = 1
+    q0 = jnp.asarray([0.2, 0.9, 0.0, -1.0, 0.0, 0.4, 0.0])
+    R0, p0 = chain.fk(q0)
+    tool = chain.link_index("tool")
+    # a segment passing near the current tool position
+    a = jnp.asarray(p0[tool]) + jnp.asarray([0.05, -0.3, 0.02])
+    bpt = jnp.asarray(p0[tool]) + jnp.asarray([0.05, 0.3, 0.02])
+    b = TrajProblemBuilder(chain, T)
+    b.add_constraint(
+        cart_line_term("line", chain, T, 0, "tool"),
+        {"line_a": a, "line_b": bpt, "target_R": R0[tool],
+         "coeffs": jnp.ones(6)})
+    b.add_cost(joint_pos_term("reg", T, 7),
+               {"targets": q0, "coeffs": jnp.full(7, 1e-3)})
+    spec, data = b.build(stationary_init(q0, T))
+    res = solve(spec, data, PARAMS)
+    assert int(res.status) == CONVERGED
+    Rf, pf = chain.fk(res.x)
+    pt = np.asarray(pf[tool])
+    seg_a, seg_b = np.asarray(a), np.asarray(bpt)
+    d = seg_b - seg_a
+    t = np.clip(np.dot(pt - seg_a, d) / np.dot(d, d), 0, 1)
+    dist = np.linalg.norm(pt - (seg_a + t * d))
+    assert dist < 1e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from trajopt_tpu.utils.checkpoint import (
+        load_pytree,
+        resume_data,
+        save_pytree,
+    )
+    _, chain = spherebot()
+    T, D = 2, 2
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_pos_term("goal", T, D),
+               {"targets": jnp.asarray([1.0, -1.0]), "coeffs": jnp.ones(D)})
+    spec, data = b.build(stationary_init(jnp.zeros(D), T))
+    res = solve(spec, data, PARAMS)
+
+    p = os.path.join(tmp_path, "ckpt.npz")
+    save_pytree(p, res)
+    res2 = load_pytree(p, res)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res.x))
+
+    data2 = resume_data(data, res2)
+    res3 = solve(spec, data2, PARAMS)
+    assert int(res3.status) == CONVERGED
+    assert int(res3.n_qp_solves) <= int(res.n_qp_solves)
+
+
+def test_telemetry_and_history():
+    from trajopt_tpu.utils.telemetry import (
+        format_history,
+        format_result,
+        write_logs,
+    )
+    _, chain = spherebot()
+    T, D = 2, 2
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_pos_term("goal", T, D),
+               {"targets": jnp.ones(D), "coeffs": jnp.ones(D)})
+    b.add_constraint(
+        joint_vel_term("still", T, D, is_constraint=True),
+        {"targets": jnp.zeros(D), "coeffs": jnp.ones(D)})
+    spec, data = b.build(stationary_init(jnp.zeros(D), T))
+    res = solve(spec, data, SQPParams(record_history=32, qp=PARAMS.qp))
+    txt = format_result(res, spec)
+    assert "OPT_CONVERGED" in txt and "goal" in txt
+    hist = format_history(res)
+    assert len(hist.splitlines()) >= 2
+    paths = write_logs(res, spec, log_dir="/tmp/trajopt_tpu_test_logs")
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_sharded_batch_solve():
+    from trajopt_tpu.parallel.sharding import make_mesh, solve_batch_sharded
+    from trajopt_tpu.problem.trajectory import stack_data
+    _, chain = spherebot()
+    T, D, B = 2, 2, 8
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_pos_term("goal", T, D),
+               {"targets": jnp.zeros(D), "coeffs": jnp.ones(D)})
+    spec, proto = b.build(stationary_init(jnp.zeros(D), T))
+    datas = []
+    for i in range(B):
+        tgt = jnp.asarray([float(i), -float(i)])
+        datas.append(proto._replace(
+            cost_params=({"targets": tgt, "coeffs": jnp.ones(D)},)))
+    batch = stack_data(datas)
+    mesh = make_mesh(8)
+    res, tel = solve_batch_sharded(spec, batch, PARAMS, mesh)
+    assert int(tel["n_converged"]) == B
+    X = np.asarray(res.x).reshape(B, T, D)
+    for i in range(B):
+        np.testing.assert_allclose(X[i, -1], [i, -i], atol=1e-3)

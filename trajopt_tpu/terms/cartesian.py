@@ -95,6 +95,47 @@ def default_cart_pose_params(target_R=None, target_p=None, pos_coeffs=1.0,
     }
 
 
+def cart_line_term(
+    name: str,
+    chain: Chain,
+    n_steps: int,
+    step: int,
+    source_link: str,
+    is_constraint: bool = True,
+) -> Term:
+    """Constrain a link pose to a line segment (trajopt_ifopt
+    CartLineConstraint analog, trajopt_ifopt/src/constraints/
+    cartesian_line_constraint.cpp).
+
+    params: line_a (3,), line_b (3,) segment endpoints; target_R (3,3)
+    orientation target; coeffs (6,) [pos, rot] row scaling.
+    Position rows: p_source - closest point on segment; rotation rows:
+    log(target_R^-1 R_source).
+    """
+    n_dof = chain.n_dof
+    src = chain.link_index(source_link)
+
+    def fn(x, p):
+        q = x.reshape(n_steps, n_dof)[step]
+        R, pos = chain.fk(q)
+        ps = pos[src]
+        a = jnp.asarray(p["line_a"], x.dtype)
+        b = jnp.asarray(p["line_b"], x.dtype)
+        d = b - a
+        t = jnp.clip(jnp.dot(ps - a, d) /
+                     jnp.maximum(jnp.dot(d, d), 1e-12), 0.0, 1.0)
+        closest = a + t * d
+        pos_err = ps - closest
+        Rt = jnp.asarray(p["target_R"], x.dtype)
+        err = jnp.concatenate([pos_err, transform_error(
+            Rt, closest, R[src], ps)[3:]])
+        return err * jnp.asarray(p["coeffs"], x.dtype)
+
+    if is_constraint:
+        return eq_constraint(name, 6, fn)
+    return abs_cost(name, 6, fn)
+
+
 def upright_term(
     name: str,
     chain: Chain,
