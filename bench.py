@@ -16,6 +16,11 @@ import json
 import time
 
 import jax
+
+# TPU matmuls default to bfloat16 passes; the ADMM/Cholesky math needs full
+# f32 accumulation (3-pass bf16) or the QP solver diverges.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import jax.numpy as jnp
 import numpy as np
 
