@@ -20,6 +20,10 @@ import jax
 # TPU matmuls default to bfloat16 passes; the ADMM/Cholesky math needs full
 # f32 accumulation (3-pass bf16) or the QP solver diverges.
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: priming runs during development make the
+# driver's bench invocation hit a warm cache instead of a ~15 min compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np

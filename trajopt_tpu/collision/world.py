@@ -8,10 +8,15 @@ candidate geometry pairs are fixed at build time (static shapes), distances
 are evaluated for *all* pairs every query — the vectorized replacement for
 broad-phase culling, which at these pair counts is cheaper than divergence.
 
+Pairs are grouped by (kind, kind) at build time; each group evaluates as ONE
+vmapped kernel over stacked geometry arrays (compile-time and runtime win
+over per-pair unrolling — the op count is per *type*, not per pair).
+
 Swept ("cast") queries: sphere geometries get an *exact* swept-capsule
-(the swept volume of a sphere between two poses is a capsule); everything
-else uses a min over statically many interpolated substates — the analog of
-the reference's LVS interpolation
+(the swept volume of a sphere between two poses is a capsule); translating
+boxes (all-prismatic chains) get the exact zonotope SAT; everything else
+uses a min over statically many interpolated substates — the analog of the
+reference's LVS interpolation
 (continuous_collision_evaluators.cpp:205-240) with the cc_time gradient
 split emerging naturally from autodiff through the interpolation.
 """
@@ -44,11 +49,26 @@ class GeomSpec:
     name: str = ""
 
 
+# vmapped pair kernels over canonical world-space forms:
+#   sphere: (c, r); capsule: (a, b, r); box: (c, R, h)
+_KERNELS = {
+    (SPHERE, SPHERE): jax.vmap(lambda A, B: G.d_sphere_sphere(A[0], A[1], B[0], B[1])),
+    (SPHERE, CAPSULE): jax.vmap(lambda A, B: G.d_sphere_capsule(A[0], A[1], B[0], B[1], B[2])),
+    (SPHERE, BOX): jax.vmap(lambda A, B: G.d_sphere_box(A[0], A[1], B[0], B[1], B[2])),
+    (CAPSULE, CAPSULE): jax.vmap(lambda A, B: G.d_capsule_capsule(A[0], A[1], A[2], B[0], B[1], B[2])),
+    (CAPSULE, BOX): jax.vmap(lambda A, B: G.d_capsule_box(A[0], A[1], A[2], B[0], B[1], B[2])),
+    (BOX, BOX): jax.vmap(lambda A, B: G.d_box_box(A[0], A[1], A[2], B[0], B[1], B[2])),
+}
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class CollisionWorld:
     chain: Chain
     geoms: tuple  # tuple[GeomSpec]
-    pairs: tuple  # tuple[(gi, gj)]
+    pairs: tuple  # tuple[(gi, gj)] — ordering groups by type pair
+    # static per-kind geometry arrays (indices into geoms by kind)
+    _kind_idx: dict  # kind -> np indices of geoms
+    _groups: tuple  # ((ka, kb), np idx_a (into kind arrays), np idx_b, np pair_pos)
 
     @property
     def n_pairs(self) -> int:
@@ -58,94 +78,130 @@ class CollisionWorld:
         return tuple(
             (self.geoms[i].name, self.geoms[j].name) for i, j in self.pairs)
 
-    # ---------------- world-space canonical geometry ----------------
+    # ---------------- world-space canonical geometry, batched ----------------
 
-    def _world_geom(self, g: GeomSpec, R, p, dt):
-        Rl, pl = R[g.link], p[g.link]
-        offR = jnp.asarray(g.off_R, dt)
-        offp = jnp.asarray(g.off_p, dt)
-        Rw = Rl @ offR
-        c = Rl @ offp + pl
-        if g.kind == SPHERE:
-            return ("s", c, g.radius)
-        if g.kind == CAPSULE:
-            axis = Rw[:, 2] * g.half[2]
-            return ("c", c - axis, c + axis, g.radius)
-        return ("b", c, Rw, jnp.asarray(g.half, dt))
+    def _world_kind_arrays(self, R, p, dt):
+        """Canonical world-space arrays per kind, from link poses (L,3,3),(L,3)."""
+        out = {}
+        for kind, idx in self._kind_idx.items():
+            if len(idx) == 0:
+                continue
+            links = np.array([self.geoms[i].link for i in idx])
+            offR = jnp.asarray(np.stack([self.geoms[i].off_R for i in idx]), dt)
+            offp = jnp.asarray(np.stack([self.geoms[i].off_p for i in idx]), dt)
+            Rl = R[links]  # (k,3,3)
+            pl = p[links]
+            c = jnp.einsum("kij,kj->ki", Rl, offp) + pl
+            if kind == SPHERE:
+                r = jnp.asarray([self.geoms[i].radius for i in idx], dt)
+                out[kind] = (c, r)
+            elif kind == CAPSULE:
+                Rw = jnp.einsum("kij,kjl->kil", Rl, offR)
+                hl = jnp.asarray([self.geoms[i].half[2] for i in idx], dt)
+                axis = Rw[:, :, 2] * hl[:, None]
+                r = jnp.asarray([self.geoms[i].radius for i in idx], dt)
+                out[kind] = (c - axis, c + axis, r)
+            else:  # BOX
+                Rw = jnp.einsum("kij,kjl->kil", Rl, offR)
+                h = jnp.asarray(np.stack([self.geoms[i].half for i in idx]), dt)
+                out[kind] = (c, Rw, h)
+        return out
 
     @staticmethod
-    def _dist(ga, gb):
-        ka, kb = ga[0], gb[0]
-        if (ka, kb) in (("c", "s"), ("b", "s"), ("b", "c")):
-            ga, gb = gb, ga
-            ka, kb = kb, ka
-        if (ka, kb) == ("s", "s"):
-            return G.d_sphere_sphere(ga[1], ga[2], gb[1], gb[2])
-        if (ka, kb) == ("s", "c"):
-            return G.d_sphere_capsule(ga[1], ga[2], gb[1], gb[2], gb[3])
-        if (ka, kb) == ("s", "b"):
-            return G.d_sphere_box(ga[1], ga[2], gb[1], gb[2], gb[3])
-        if (ka, kb) == ("c", "c"):
-            return G.d_capsule_capsule(ga[1], ga[2], ga[3], gb[1], gb[2], gb[3])
-        if (ka, kb) == ("c", "b"):
-            return G.d_capsule_box(ga[1], ga[2], ga[3], gb[1], gb[2], gb[3])
-        return G.d_box_box(ga[1], ga[2], ga[3], gb[1], gb[2], gb[3])
+    def _take(world_kind, kind, sel):
+        return tuple(w[sel] for w in world_kind[kind])
 
     # ---------------- queries ----------------
 
     def pair_distances(self, q: jax.Array) -> jax.Array:
         """(n_pairs,) signed distances at configuration q."""
         R, p = self.chain.fk(q)
-        dt = q.dtype
-        ws = [self._world_geom(g, R, p, dt) for g in self.geoms]
-        return jnp.stack([self._dist(ws[i], ws[j]) for i, j in self.pairs])
+        return self._pair_distances_from_poses(R, p, q.dtype)
+
+    def _pair_distances_from_poses(self, R, p, dt) -> jax.Array:
+        wk = self._world_kind_arrays(R, p, dt)
+        out = jnp.zeros((self.n_pairs,), dt)
+        for (ka, kb), ia, ib, pos in self._groups:
+            A = self._take(wk, ka, ia)
+            B = self._take(wk, kb, ib)
+            d = _KERNELS[(ka, kb)](A, B)
+            out = out.at[pos].set(d)
+        return out
 
     def cast_pair_distances(self, qa: jax.Array, qb: jax.Array,
                             n_sub: int = 8) -> jax.Array:
         """(n_pairs,) swept distances over the motion qa -> qb.
 
-        Sphere geoms moving against a static geom use the exact swept
-        capsule; all other pairs take the min over ``n_sub`` interpolated
-        configurations (LVS-style).
+        Exact for moving spheres (swept capsule) and translating boxes
+        (zonotope SAT); LVS substate-min otherwise.
         """
         dt = qa.dtype
         Ra, pa = self.chain.fk(qa)
         Rb, pb = self.chain.fk(qb)
-        moving = self.chain.ancestor.any(axis=1)  # (L,) link moves with q?
+        moving = self.chain.ancestor.any(axis=1)
 
-        # substate distances for the general case
         ss = jnp.linspace(0.0, 1.0, n_sub)
         sub_d = jax.vmap(
             lambda s: self.pair_distances(qa + s * (qb - qa)))(ss)
         d_min = jnp.min(sub_d, axis=0)  # (n_pairs,)
 
-        # translation-only chains (all-prismatic) keep link rotations fixed,
-        # enabling the exact swept-box zonotope SAT
         translation_only = not bool(
             (np.asarray(self.chain.jtype)[np.asarray(self.chain.link_of_dof)]
              == 1).any()) if self.chain.n_dof else True
 
-        out = []
+        wa = self._world_kind_arrays(Ra, pa, dt)
+        wb = self._world_kind_arrays(Rb, pb, dt)
+        kind_pos = {k: {g: i for i, g in enumerate(idx)}
+                    for k, idx in self._kind_idx.items()}
+
+        out = d_min
+        # exact sweeps, batched per case
+        sphere_cases = {}  # static grouping: (other_kind) -> [(pair_pos, s_idx, o_idx)]
+        boxbox_cases = []
         for k, (i, j) in enumerate(self.pairs):
             gi, gj = self.geoms[i], self.geoms[j]
-            exact = None
-            for a, b in ((gi, gj), (gj, gi)):
-                if exact is not None or moving[b.link] or not moving[a.link]:
+            for a_idx, b_idx in ((i, j), (j, i)):
+                a, b = self.geoms[a_idx], self.geoms[b_idx]
+                if moving[b.link] or not moving[a.link]:
                     continue
                 if a.kind == SPHERE:
-                    # exact swept capsule: moving sphere vs static geom
-                    ca = Ra[a.link] @ jnp.asarray(a.off_p, dt) + pa[a.link]
-                    cb = Rb[a.link] @ jnp.asarray(a.off_p, dt) + pb[a.link]
-                    wb = self._world_geom(b, Ra, pa, dt)
-                    exact = self._dist(("c", ca, cb, a.radius), wb)
-                elif a.kind == BOX and b.kind == BOX and translation_only:
-                    wa_a = self._world_geom(a, Ra, pa, dt)
-                    wa_b = self._world_geom(a, Rb, pb, dt)
-                    wb = self._world_geom(b, Ra, pa, dt)
-                    exact = G.d_swept_box_box(wa_a[1], wa_b[1], wa_a[2],
-                                              wa_a[3], wb[1], wb[2], wb[3])
-            out.append(exact if exact is not None else d_min[k])
-        return jnp.stack(out)
+                    sphere_cases.setdefault(b.kind, []).append(
+                        (k, kind_pos[SPHERE][a_idx], kind_pos[b.kind][b_idx]))
+                    break
+                if a.kind == BOX and b.kind == BOX and translation_only:
+                    boxbox_cases.append(
+                        (k, kind_pos[BOX][a_idx], kind_pos[BOX][b_idx]))
+                    break
+
+        for okind, cases in sphere_cases.items():
+            pos = np.array([c[0] for c in cases])
+            si = np.array([c[1] for c in cases])
+            oi = np.array([c[2] for c in cases])
+            ca = wa[SPHERE][0][si]
+            cb = wb[SPHERE][0][si]
+            r = wa[SPHERE][1][si]
+            cap = (ca, cb, r)
+            other = self._take(wa, okind, oi)
+            if okind == SPHERE:
+                d = jax.vmap(lambda A, B: G.d_sphere_capsule(
+                    B[0], B[1], A[0], A[1], A[2]))(cap, other)
+            elif okind == CAPSULE:
+                d = jax.vmap(lambda A, B: G.d_capsule_capsule(
+                    A[0], A[1], A[2], B[0], B[1], B[2]))(cap, other)
+            else:
+                d = jax.vmap(lambda A, B: G.d_capsule_box(
+                    A[0], A[1], A[2], B[0], B[1], B[2]))(cap, other)
+            out = out.at[pos].set(d)
+
+        if boxbox_cases:
+            pos = np.array([c[0] for c in boxbox_cases])
+            ai = np.array([c[1] for c in boxbox_cases])
+            bi = np.array([c[2] for c in boxbox_cases])
+            d = jax.vmap(G.d_swept_box_box)(
+                wa[BOX][0][ai], wb[BOX][0][ai], wa[BOX][1][ai], wa[BOX][2][ai],
+                wa[BOX][0][bi], wa[BOX][1][bi], wa[BOX][2][bi])
+            out = out.at[pos].set(d)
+        return out
 
 
 def _geom_specs(model: RobotModel, chain: Chain) -> list[GeomSpec]:
@@ -175,7 +231,8 @@ def build_collision_world(model: RobotModel, chain: Chain,
                           extra_disabled: Optional[set] = None
                           ) -> CollisionWorld:
     """Candidate pairs: different links, not parent-child adjacent, not
-    SRDF-disabled, at least one side movable."""
+    SRDF-disabled, at least one side movable.  Pairs are ordered grouped by
+    type combination for vectorized evaluation."""
     specs = _geom_specs(model, chain)
     disabled = set(model.disabled_pairs) | (extra_disabled or set())
     moving = chain.ancestor.any(axis=1)
@@ -184,7 +241,7 @@ def build_collision_world(model: RobotModel, chain: Chain,
     def adjacent(li, lj):
         return parent[li] == lj or parent[lj] == li
 
-    pairs = []
+    raw_pairs = []
     for i in range(len(specs)):
         for j in range(i + 1, len(specs)):
             li, lj = specs[i].link, specs[j].link
@@ -195,5 +252,34 @@ def build_collision_world(model: RobotModel, chain: Chain,
                 continue
             if not (moving[li] or moving[lj]):
                 continue
-            pairs.append((i, j))
-    return CollisionWorld(chain, tuple(specs), tuple(pairs))
+            # canonical kind order (kind_i <= kind_j)
+            if specs[i].kind <= specs[j].kind:
+                raw_pairs.append((i, j))
+            else:
+                raw_pairs.append((j, i))
+
+    kind_idx = {k: [] for k in (SPHERE, CAPSULE, BOX)}
+    for gi, g in enumerate(specs):
+        kind_idx[g.kind].append(gi)
+    kind_idx = {k: np.asarray(v, dtype=np.int64) for k, v in kind_idx.items()}
+    kind_pos = {k: {g: i for i, g in enumerate(idx)}
+                for k, idx in kind_idx.items()}
+
+    by_type: dict = {}
+    for (i, j) in raw_pairs:
+        by_type.setdefault((specs[i].kind, specs[j].kind), []).append((i, j))
+
+    pairs = []
+    groups = []
+    pos = 0
+    for key in sorted(by_type):
+        plist = by_type[key]
+        ia = np.array([kind_pos[key[0]][i] for i, _ in plist])
+        ib = np.array([kind_pos[key[1]][j] for _, j in plist])
+        ppos = np.arange(pos, pos + len(plist))
+        groups.append((key, ia, ib, ppos))
+        pairs.extend(plist)
+        pos += len(plist)
+
+    return CollisionWorld(chain, tuple(specs), tuple(pairs), kind_idx,
+                          tuple(groups))
