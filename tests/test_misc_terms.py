@@ -172,3 +172,24 @@ def test_sharded_batch_solve():
     X = np.asarray(res.x).reshape(B, T, D)
     for i in range(B):
         np.testing.assert_allclose(X[i, -1], [i, -i], atol=1e-3)
+
+
+def test_callback_observes_and_aborts():
+    from trajopt_tpu.solver.types import STOPPED_BY_CALLBACK
+    _, chain = spherebot()
+    T, D = 2, 2
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_pos_term("goal", T, D),
+               {"targets": jnp.ones(D), "coeffs": jnp.ones(D)})
+    spec, data = b.build(stationary_init(jnp.zeros(D), T))
+
+    seen = []
+
+    def cb(info):
+        seen.append(int(info["n_qp"]))
+        return len(seen) >= 2  # abort on the second iteration
+
+    params = SQPParams(callback=cb, qp=PARAMS.qp)
+    res = solve(spec, data, params)
+    assert int(res.status) == STOPPED_BY_CALLBACK
+    assert len(seen) == 2

@@ -445,6 +445,23 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
             box1)
         it2 = jnp.where(pa_cont, jnp.int32(0), it1)
 
+        if p.callback is not None:
+            import numpy as _np
+            from jax.experimental import io_callback
+
+            def _cb(x, merit, viols, box, n_qp):
+                return _np.bool_(bool(p.callback({
+                    "x": x, "merit": merit, "viols": viols,
+                    "box": box, "n_qp": n_qp})))
+
+            abort = io_callback(
+                _cb, jax.ShapeDtypeStruct((), jnp.bool_),
+                x1, st.merit, viol1, box2, st.n_qp, ordered=True)
+            status2 = jnp.where(
+                abort & (status2 == RUNNING),
+                jnp.int32(5),  # STOPPED_BY_CALLBACK
+                status2)
+
         hist = st.hist
         if p.record_history > 0:
             row = jnp.stack([

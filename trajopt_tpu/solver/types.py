@@ -22,6 +22,7 @@ CONVERGED = 1
 SCO_ITERATION_LIMIT = 2
 PENALTY_ITERATION_LIMIT = 3
 FAILED = 4
+STOPPED_BY_CALLBACK = 5  # modern stack's kStoppedByCallback (types.h:216-225)
 
 STATUS_NAMES = {
     RUNNING: "RUNNING",
@@ -29,6 +30,7 @@ STATUS_NAMES = {
     SCO_ITERATION_LIMIT: "OPT_SCO_ITERATION_LIMIT",
     PENALTY_ITERATION_LIMIT: "OPT_PENALTY_ITERATION_LIMIT",
     FAILED: "OPT_FAILED",
+    STOPPED_BY_CALLBACK: "OPT_STOPPED_BY_CALLBACK",
 }
 
 _NEG_INF = float("-inf")
@@ -59,6 +61,11 @@ class SQPParams:
     # (the analog of the reference's trajopt_solver.log CSV stream,
     # optimizers.cpp:703-713); see HISTORY_FIELDS.
     record_history: int = 0
+    # Optional per-iteration host callback (the SQPCallback analog,
+    # trust_region_sqp_solver.cpp:441-447): called with a dict
+    # {x, merit, viols, box, n_qp}; returning True aborts the solve
+    # (OPT_STOPPED_BY_CALLBACK).  Single-instance solves only.
+    callback: Optional[Any] = None
     qp: QPSettings = QPSettings()
 
 
