@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness: solves/s at 1..N devices.
+
+SURVEY.md §5.8 deliverable: measure batched-solve throughput and scaling
+efficiency across the device mesh (virtual CPU devices by default so the
+harness runs anywhere; on a real pod slice the same code measures ICI
+scaling).
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/scaling_bench.py --devices 1 2 4 8 --batch-per-device 8
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--batch-per-device", type=int, default=8)
+    ap.add_argument("--n-steps", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (virtual devices)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trajopt_tpu.benchmarks import bench_params, make_glass_upright
+    from trajopt_tpu.parallel.sharding import make_mesh, solve_batch_sharded
+    from trajopt_tpu.solver.types import CONVERGED
+
+    params = bench_params()
+    results = []
+    base_rate = None
+    for nd in args.devices:
+        if nd > len(jax.devices()):
+            continue
+        batch = nd * args.batch_per_device
+        spec, data, _, _ = make_glass_upright(batch=batch,
+                                              n_steps=args.n_steps,
+                                              dtype=jnp.float32)
+        mesh = make_mesh(nd)
+        res, tel = solve_batch_sharded(spec, data, params, mesh)  # compile
+        jax.block_until_ready(res)
+        t0 = time.perf_counter()
+        res, tel = solve_batch_sharded(spec, data, params, mesh)
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        ok = int(np.sum(np.asarray(res.status) == CONVERGED))
+        rate = ok / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * nd) if base_rate else 0.0
+        results.append({"devices": nd, "batch": batch, "converged": ok,
+                        "wall_s": round(dt, 3),
+                        "solves_per_sec": round(rate, 2),
+                        "scaling_efficiency": round(eff, 3)})
+        print(json.dumps(results[-1]))
+    print(json.dumps({"scaling": results}))
+
+
+if __name__ == "__main__":
+    main()

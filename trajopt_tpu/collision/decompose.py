@@ -1,0 +1,112 @@
+"""Offline mesh preprocessing: fit convex primitives to vertex clouds.
+
+The reference vendors V-HACD (trajopt_ext/vhacd) to decompose concave
+meshes into convex pieces *offline* before planning (SURVEY.md §2.7 item 6).
+The TPU build keeps the same split: meshes never reach the device — this
+host-side module reduces a mesh's vertex cloud to primitive(s) the
+differentiable SDF layer understands.
+
+Provided fits (all numpy, run once at scene-build time):
+- ``fit_sphere``: minimal centroid sphere;
+- ``fit_capsule``: PCA axis + radius (good for elongated link meshes);
+- ``fit_obb``: PCA-oriented bounding box;
+- ``fit_auto``: picks the tightest of the three by volume.
+
+For higher fidelity, split the mesh into k clusters first (``kmeans_split``)
+and fit one primitive per cluster — a crude but serviceable V-HACD stand-in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kinematics.urdf import UrdfGeom
+
+
+def _pca(verts: np.ndarray):
+    c = verts.mean(axis=0)
+    X = verts - c
+    cov = X.T @ X / max(len(verts), 1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return c, V[:, order]
+
+
+def fit_sphere(verts: np.ndarray) -> UrdfGeom:
+    c = verts.mean(axis=0)
+    r = float(np.linalg.norm(verts - c, axis=1).max())
+    return UrdfGeom("sphere", np.array([r]), c, np.zeros(3))
+
+
+def _rot_to_rpy(R: np.ndarray) -> np.ndarray:
+    sy = np.hypot(R[0, 0], R[1, 0])
+    if sy > 1e-9:
+        return np.array([np.arctan2(R[2, 1], R[2, 2]),
+                         np.arctan2(-R[2, 0], sy),
+                         np.arctan2(R[1, 0], R[0, 0])])
+    return np.array([np.arctan2(-R[1, 2], R[1, 1]),
+                     np.arctan2(-R[2, 0], sy), 0.0])
+
+
+def fit_capsule(verts: np.ndarray) -> UrdfGeom:
+    c, V = _pca(verts)
+    axis = V[:, 0]
+    t = (verts - c) @ axis
+    radial = np.linalg.norm((verts - c) - np.outer(t, axis), axis=1)
+    r = float(radial.max())
+    lo, hi = float(t.min()), float(t.max())
+    length = max(hi - lo - 2 * r, 1e-6)
+    mid = c + axis * (hi + lo) / 2
+    # capsule local frame: z along axis
+    z = axis
+    x = np.array([1.0, 0, 0]) if abs(z[0]) < 0.9 else np.array([0, 1.0, 0])
+    x = x - z * (x @ z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)
+    return UrdfGeom("capsule", np.array([r, length]), mid, _rot_to_rpy(R))
+
+
+def fit_obb(verts: np.ndarray) -> UrdfGeom:
+    c, V = _pca(verts)
+    local = (verts - c) @ V
+    lo, hi = local.min(axis=0), local.max(axis=0)
+    size = hi - lo
+    mid = c + V @ ((hi + lo) / 2)
+    return UrdfGeom("box", size, mid, _rot_to_rpy(V))
+
+
+def _volume(g: UrdfGeom) -> float:
+    if g.kind == "sphere":
+        return 4 / 3 * np.pi * g.size[0] ** 3
+    if g.kind == "capsule":
+        r, ln = g.size
+        return np.pi * r * r * ln + 4 / 3 * np.pi * r ** 3
+    return float(np.prod(g.size))
+
+
+def fit_auto(verts: np.ndarray) -> UrdfGeom:
+    cands = [fit_sphere(verts), fit_capsule(verts), fit_obb(verts)]
+    return min(cands, key=_volume)
+
+
+def kmeans_split(verts: np.ndarray, k: int, iters: int = 20,
+                 seed: int = 0) -> list[np.ndarray]:
+    """Split a vertex cloud into k clusters (Lloyd's) for per-piece fits."""
+    rng = np.random.default_rng(seed)
+    centers = verts[rng.choice(len(verts), size=k, replace=False)]
+    for _ in range(iters):
+        d = np.linalg.norm(verts[:, None] - centers[None], axis=2)
+        assign = d.argmin(axis=1)
+        for i in range(k):
+            sel = verts[assign == i]
+            if len(sel):
+                centers[i] = sel.mean(axis=0)
+    return [verts[assign == i] for i in range(k) if (assign == i).any()]
+
+
+def decompose(verts: np.ndarray, max_pieces: int = 1) -> list[UrdfGeom]:
+    """V-HACD stand-in: primitive fits over (optionally clustered) vertices."""
+    if max_pieces <= 1 or len(verts) < 2 * max_pieces:
+        return [fit_auto(verts)]
+    return [fit_auto(v) for v in kmeans_split(verts, max_pieces)]
