@@ -138,3 +138,101 @@ def test_unknown_field_rejected():
     _, chain = spherebot()
     with pytest.raises(ValueError, match="bogus"):
         load_problem(doc, chain)
+
+
+def test_time_parameterized_json():
+    """arm_around_table_time.json semantics: a term-level use_time flag
+    (string-typed, mixed case, as in the reference config) switches the
+    problem to the (T, D+1) 1/dt grid; joint_vel stays untimed while the
+    goal joint_pos constraint rides the timed grid."""
+    doc = {
+        "basic_info": {"n_steps": 5, "manip": "m",
+                       "fixed_timesteps": [0],
+                       "dt_lower_lim": 0.05, "dt_upper_lim": 0.5},
+        "costs": [
+            {"type": "joint_vel", "use_time": "false",
+             "params": {"coeffs": [1], "targets": [0, 0]}},
+        ],
+        "constraints": [
+            {"type": "joint_pos", "name": "goal", "use_time": "tRuE",
+             "params": {"coeffs": [1, 1], "targets": [1.0, -0.5],
+                        "first_step": 4, "last_step": 4}},
+        ],
+        "init_info": {"type": "joint_interpolated", "dt": 0.1,
+                      "data": [0.0, 0.0], "endpoint": [1.0, -0.5]},
+    }
+    _, chain = spherebot()
+    spec, data, params = load_problem(doc, chain, qp=QP)
+    D = chain.n_dof
+    assert spec.n_x == 5 * (D + 1)  # 1/dt column present
+    res = solve(spec, data, params)
+    assert int(res.status) == CONVERGED
+    X = np.asarray(res.x).reshape(5, D + 1)
+    np.testing.assert_allclose(X[4, :D], [1.0, -0.5], atol=1e-4)
+    # inv_dt column stayed within its bounds
+    assert (X[:, D] >= 1.0 / 0.5 - 1e-9).all()
+    assert (X[:, D] <= 1.0 / 0.05 + 1e-9).all()
+
+
+def test_timed_vel_and_total_time_json():
+    """joint_vel with use_time (dt-scaled velocity) + total_time constraint:
+    the solver must stretch time to respect the velocity bound while the
+    total-time constraint caps the stretch."""
+    doc = {
+        "basic_info": {"n_steps": 4, "manip": "m", "use_time": True,
+                       "dt_lower_lim": 0.01, "dt_upper_lim": 10.0},
+        "costs": [
+            {"type": "total_time", "params": {"coeff": 1.0, "limit": 3.5}},
+        ],
+        "constraints": [
+            {"type": "joint_vel", "use_time": True,
+             "params": {"coeffs": [1, 1], "targets": [0.0, 0.0],
+                        "upper_tols": [1.0, 1.0], "lower_tols": [-1.0, -1.0]}},
+            {"type": "joint_pos", "name": "goal",
+             "params": {"coeffs": [1, 1], "targets": [3.0, 0.0],
+                        "first_step": 3, "last_step": 3}},
+        ],
+        "init_info": {"type": "joint_interpolated", "dt": 1.0,
+                      "data": [0.0, 0.0], "endpoint": [3.0, 0.0]},
+    }
+    _, chain = spherebot()
+    spec, data, params = load_problem(doc, chain, qp=QP)
+    res = solve(spec, data, params)
+    assert int(res.status) == CONVERGED
+    D = chain.n_dof
+    X = np.asarray(res.x).reshape(4, D + 1)
+    np.testing.assert_allclose(X[3, :D], [3.0, 0.0], atol=1e-4)
+    # velocity bound respected: |dq| * inv_dt <= 1 per step
+    vel = (X[1:, :D] - X[:-1, :D]) * X[1:, D:]
+    assert np.abs(vel).max() <= 1.0 + 1e-3
+    # total time >= 3s needed to travel 3 rad at <=1 rad/s; the hinge cost
+    # pulls it down to (or below) its 3.5s limit
+    total = float(np.sum(1.0 / X[1:, D]))
+    assert total >= 3.0 - 1e-2
+    assert total <= 3.5 + 1e-2
+
+
+def test_dynamic_cart_pose_json():
+    """dynamic_cart_pose: target frame is a moving chain link."""
+    _, chain = arm7()
+    doc = {
+        "basic_info": {"n_steps": 1, "manip": "arm"},
+        "constraints": [
+            {"type": "dynamic_cart_pose",
+             "params": {"source_frame": "tool", "target_frame": "l4",
+                        "target_frame_offset_xyz": [0.1478, 0.0, 0.5335],
+                        "rot_coeffs": [0, 0, 0]}},
+        ],
+        "costs": [
+            {"type": "joint_pos", "params": {"coeffs": 1e-4, "targets": 0.0}},
+        ],
+        "init_info": {"type": "given_traj",
+                      "data": [[0.1, 0.4, 0.1, -0.6, 0.1, 0.3, 0.1]]},
+    }
+    spec, data, params = load_problem(doc, chain, qp=QP)
+    res = solve(spec, data, params)
+    assert int(res.status) == CONVERGED
+    R, p = chain.fk(res.x)
+    tool, l4 = chain.link_index("tool"), chain.link_index("l4")
+    target_world = np.asarray(R[l4] @ jnp.asarray([0.1478, 0.0, 0.5335]) + p[l4])
+    np.testing.assert_allclose(np.asarray(p[tool]), target_world, atol=1e-3)

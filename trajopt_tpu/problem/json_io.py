@@ -5,21 +5,29 @@ Parses the de-facto public TrajOpt problem format
 trajopt/src/problem_description.cpp:118-308 and the term registry
 :53-66) into a (spec, data, SQPParams) triple:
 
-  {"basic_info":  {"n_steps", "manip", "fixed_timesteps", ...},
+  {"basic_info":  {"n_steps", "manip", "fixed_timesteps", "use_time", ...},
    "opt_info":    { 18 SQP knobs ... },
-   "costs":       [ {"type", "name", "params": {...}}, ... ],
+   "costs":       [ {"type", "name", "use_time", "params": {...}}, ... ],
    "constraints": [ ... ],
    "init_info":   {"type": "stationary"|"joint_interpolated"|"given_traj",
-                   "data": ..., "endpoint": ...}}
+                   "data": ..., "endpoint": ..., "dt": ...}}
 
-Supported term types: joint_pos, joint_vel, joint_acc, joint_jerk,
-cart_pose, cart_vel, collision.  Unknown fields are rejected
-(ensure_only_members, problem_description.cpp:32-51); scalars broadcast to
-per-dof vectors (checkParameterSize, :75-89).
+Supported term types (the full reference registry,
+problem_description.cpp:53-66): joint_pos, joint_vel, joint_acc,
+joint_jerk, cart_pose, dynamic_cart_pose, cart_vel, collision, total_time.
+Unknown fields are rejected (ensure_only_members,
+problem_description.cpp:32-51); scalars broadcast to per-dof vectors
+(checkParameterSize, :75-89).
 
-Time-parameterized (`use_time`) variants are not yet supported (the
-reference itself marks several unimplemented, problem_description.cpp:
-931-938).
+Time parameterization: a term-level ``use_time`` flag (accepted as a bool
+or a case-insensitive string, matching jsoncpp's lenient parse of the
+reference configs) switches the problem to an (n_steps, n_dof+1) grid with
+a trailing 1/dt column, exactly as the reference auto-sets
+``basic_info.use_time`` when any term uses time
+(problem_description.cpp:169-211).  joint_vel with time becomes the
+dt-scaled velocity term; joint_pos with time is dt-independent; joint
+acc/jerk with time are unimplemented (the reference throws for several
+time variants too, problem_description.cpp:931-938).
 """
 
 from __future__ import annotations
@@ -38,15 +46,32 @@ from ..solver.types import SQPParams
 from ..terms.cartesian import cart_pose_term, cart_vel_term, default_cart_pose_params
 from ..terms.collision import cast_collision_term, discrete_collision_term
 from ..terms.joint import joint_motion_term
+from ..terms.time import timed_joint_vel_term, total_time_term
 from .trajectory import TrajProblemBuilder, interpolated_init, stationary_init
 
 _JOINT_ORDERS = {"joint_pos": 0, "joint_vel": 1, "joint_acc": 2, "joint_jerk": 3}
+
+_TERM_FIELDS = {"type", "name", "use_time", "params"}
 
 
 def _only(params: dict, allowed: set, ctx: str):
     extra = set(params) - allowed
     if extra:
         raise ValueError(f"unknown fields {extra} in {ctx}")
+
+
+def _bool(v, ctx: str = "") -> bool:
+    """Lenient bool: the reference configs carry strings like "tRuE"."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s in ("true", "1"):
+            return True
+        if s in ("false", "0"):
+            return False
+        raise ValueError(f"bad bool {v!r} in {ctx}")
+    return bool(v)
 
 
 def _vec(v, n, name) -> np.ndarray:
@@ -92,10 +117,27 @@ def load_problem(doc: dict | str, chain: Chain,
     if isinstance(doc, str):
         doc = json.loads(doc)
 
-    basic = doc.get("basic_info", {})
+    basic = dict(doc.get("basic_info", {}))
+    _only(basic, {"n_steps", "manip", "fixed_timesteps", "fixed_dofs",
+                  "use_time", "dt_lower_lim", "dt_upper_lim",
+                  "convex_solver", "start_fixed"}, "basic_info")
     T = int(basic["n_steps"])
     D = chain.n_dof
-    b = TrajProblemBuilder(chain, T)
+
+    all_entries = list(doc.get("costs", [])) + list(doc.get("constraints", []))
+    for e in all_entries:
+        _only(e, _TERM_FIELDS, e.get("type", "term"))
+    # any term using time flips the whole problem to the 1/dt grid
+    # (problem_description.cpp:169-211 auto-sets basic_info.use_time)
+    use_time = _bool(basic.get("use_time", False), "basic_info.use_time") or \
+        any(_bool(e.get("use_time", False), e.get("type", "?"))
+            for e in all_entries)
+
+    b = TrajProblemBuilder(
+        chain, T, use_time=use_time,
+        dt_lower=float(basic.get("dt_lower_lim", 1e-3)),
+        dt_upper=float(basic.get("dt_upper_lim", 1.0)))
+    NC = D + (1 if use_time else 0)
 
     for s in basic.get("fixed_timesteps", []):
         b.fix_timestep(int(s))
@@ -105,21 +147,33 @@ def load_problem(doc: dict | str, chain: Chain,
     def add_term(entry: dict, is_constraint: bool, idx: int):
         ttype = entry["type"]
         name = entry.get("name", f"{ttype}_{idx}")
+        term_time = _bool(entry.get("use_time", False), ttype)
         params = dict(entry.get("params", {}))
 
         if ttype in _JOINT_ORDERS:
             order = _JOINT_ORDERS[ttype]
             _only(params, {"coeffs", "targets", "upper_tols", "lower_tols",
-                           "first_step", "last_step", "use_time"}, ttype)
+                           "first_step", "last_step"}, ttype)
             first = int(params.get("first_step", 0))
             last = int(params.get("last_step", T - 1))
             up = _vec(params.get("upper_tols", 0.0), D, "upper_tols")
             lo = _vec(params.get("lower_tols", 0.0), D, "lower_tols")
             toleranced = bool(np.any(up != 0.0) or np.any(lo != 0.0))
-            term = joint_motion_term(name, order, T, D, first_step=first,
-                                     last_step=last,
-                                     is_constraint=is_constraint,
-                                     toleranced=toleranced)
+            if term_time and order == 1:
+                term = timed_joint_vel_term(
+                    name, T, D, first_step=first, last_step=last,
+                    is_constraint=is_constraint, toleranced=toleranced)
+            elif term_time and order >= 2:
+                raise NotImplementedError(
+                    f"{ttype} with use_time is not implemented "
+                    "(reference leaves several time variants unimplemented, "
+                    "problem_description.cpp:931-938)")
+            else:
+                # joint_pos (dt-independent) or untimed term on a timed grid
+                term = joint_motion_term(name, order, T, D, first_step=first,
+                                         last_step=last,
+                                         is_constraint=is_constraint,
+                                         toleranced=toleranced, n_cols=NC)
             p = {"targets": jnp.asarray(_vec(params.get("targets", 0.0), D,
                                              "targets")),
                  "coeffs": jnp.asarray(_vec(params.get("coeffs", 1.0), D,
@@ -129,7 +183,7 @@ def load_problem(doc: dict | str, chain: Chain,
                 p["lower_tols"] = jnp.asarray(lo)
             return term, p
 
-        if ttype == "cart_pose":
+        if ttype in ("cart_pose", "dynamic_cart_pose"):
             _only(params, {"timestep", "source_frame", "target_frame",
                            "source_frame_offset_xyz", "source_frame_offset_wxyz",
                            "target_frame_offset_xyz", "target_frame_offset_wxyz",
@@ -137,11 +191,14 @@ def load_problem(doc: dict | str, chain: Chain,
             step = int(params.get("timestep", T - 1))
             source = params["source_frame"]
             target = params.get("target_frame")
-            # a target that is a chain link => link-relative (dynamic) target;
-            # otherwise it names the fixed base/world frame
-            target_is_link = (target in chain.link_names
-                              and bool(chain.ancestor[
-                                  chain.link_index(target)].any()))
+            # dynamic_cart_pose: the target frame is a moving chain link
+            # (DynamicCartPoseTermInfo, kinematic_terms.cpp:98-184).  For
+            # plain cart_pose a target that names a movable chain link is
+            # treated the same way; a base/world frame name gives a fixed
+            # world target.
+            target_is_link = ttype == "dynamic_cart_pose" or (
+                target in chain.link_names
+                and bool(chain.ancestor[chain.link_index(target)].any()))
             toff_p = jnp.asarray(params.get("target_frame_offset_xyz",
                                             [0, 0, 0]), jnp.float64)
             toff_R = quat_wxyz_to_matrix(jnp.asarray(
@@ -155,7 +212,7 @@ def load_problem(doc: dict | str, chain: Chain,
             term = cart_pose_term(
                 name, chain, T, step, source,
                 target_link=target if target_is_link else None,
-                is_constraint=is_constraint, kind="abs")
+                is_constraint=is_constraint, kind="abs", n_cols=NC)
             p = default_cart_pose_params(
                 target_R=toff_R, target_p=toff_p,
                 pos_coeffs=jnp.asarray(_vec(params.get("pos_coeffs", 1.0), 3,
@@ -172,9 +229,17 @@ def load_problem(doc: dict | str, chain: Chain,
                 name, chain, T, params["link"],
                 first_step=int(params.get("first_step", 0)),
                 last_step=int(params.get("last_step", T - 1)),
-                is_constraint=is_constraint)
+                is_constraint=is_constraint, n_cols=NC)
             return term, {"max_displacement":
                           jnp.asarray(float(params["max_displacement"]))}
+
+        if ttype == "total_time":
+            if not use_time:
+                raise ValueError("total_time requires a use_time problem")
+            _only(params, {"coeff", "limit"}, ttype)
+            term = total_time_term(name, T, D, is_constraint=is_constraint)
+            return term, {"limit": jnp.asarray(float(params.get("limit", 1.0))),
+                          "coeff": jnp.asarray(float(params.get("coeff", 1.0)))}
 
         if ttype == "collision":
             if world is None:
@@ -188,14 +253,19 @@ def load_problem(doc: dict | str, chain: Chain,
             last = int(params.get("last_step", T - 1))
             coeffs = float(np.atleast_1d(params.get("coeffs", 20.0))[0])
             margin = float(params.get("dist_pen", 0.025))
+            # "fixed_steps" marks steps whose variables are pinned
+            # (collision contacts on those ends are filtered in the
+            # reference, collision_terms.cpp:558-600).  Here fixed steps are
+            # enforced by equal variable bounds, so their step gradients are
+            # inert in the QP — the field is accepted and needs no action.
             if ev <= 1 or T == 1:  # DISCRETE (or single step)
                 term = discrete_collision_term(
                     name, world, T, first_step=first, last_step=last,
-                    is_constraint=is_constraint)
+                    is_constraint=is_constraint, n_cols=NC)
             else:  # LVS_DISCRETE / CONTINUOUS / LVS_CONTINUOUS -> swept
                 term = cast_collision_term(
                     name, world, T, first_step=first, last_step=last,
-                    n_sub=n_sub, is_constraint=is_constraint)
+                    n_sub=n_sub, is_constraint=is_constraint, n_cols=NC)
             return term, {"margins": jnp.asarray(margin),
                           "coeffs": jnp.asarray(coeffs)}
 
@@ -210,9 +280,10 @@ def load_problem(doc: dict | str, chain: Chain,
 
     init = doc.get("init_info", {"type": "stationary"})
     itype = init.get("type", "stationary")
+    init_dt = float(init.get("dt", 0.1))
     if itype == "given_traj":
         X0 = jnp.asarray(np.asarray(init["data"], dtype=np.float64))
-        if X0.shape != (T, D):
+        if X0.shape not in ((T, D), (T, NC)):
             raise ValueError(f"init data shape {X0.shape} != {(T, D)}")
     elif itype == "joint_interpolated":
         q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
@@ -221,7 +292,7 @@ def load_problem(doc: dict | str, chain: Chain,
         q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
         X0 = stationary_init(q0, T)
 
-    spec, data = b.build(X0)
+    spec, data = b.build(X0, init_dt=init_dt)
     params = _opt_params(doc.get("opt_info", {}))
     if qp is not None:
         params = SQPParams(**{**params.__dict__, "qp": qp})

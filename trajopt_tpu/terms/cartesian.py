@@ -43,6 +43,7 @@ def cart_pose_term(
     target_link: Optional[str] = None,
     is_constraint: bool = True,
     kind: str = "eq",  # constraints: "eq"; costs: "abs" or "squared"
+    n_cols: Optional[int] = None,
 ) -> Term:
     """Pose term at one trajectory step.
 
@@ -54,11 +55,12 @@ def cart_pose_term(
       coeffs (6,)                      — [pos_coeffs, rot_coeffs]
     """
     n_dof = chain.n_dof
+    nc = n_cols or n_dof
     src = chain.link_index(source_link)
     tgt = chain.link_index(target_link) if target_link is not None else None
 
     def fn(x, p):
-        q = x.reshape(n_steps, n_dof)[step]
+        q = x.reshape(n_steps, nc)[step, :n_dof]
         Rs, ps = _link_pose_with_offset(
             chain, q, src, jnp.asarray(p["source_off_R"], x.dtype),
             jnp.asarray(p["source_off_p"], x.dtype))
@@ -179,6 +181,7 @@ def cart_vel_term(
     first_step: int = 0,
     last_step: Optional[int] = None,
     is_constraint: bool = True,
+    n_cols: Optional[int] = None,
 ) -> Term:
     """Displacement limit between consecutive steps.
 
@@ -192,7 +195,7 @@ def cart_vel_term(
     assert n_gaps >= 1
 
     def fn(x, p):
-        X = x.reshape(n_steps, n_dof)
+        X = x.reshape(n_steps, n_cols or n_dof)[:, :n_dof]
         lim = jnp.asarray(p["max_displacement"], x.dtype)
         import jax
         ps = jax.vmap(lambda q: chain.fk(q)[1][src])(X[first_step:last + 1])

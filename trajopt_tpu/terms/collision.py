@@ -41,15 +41,17 @@ def discrete_collision_term(
     first_step: int = 0,
     last_step: Optional[int] = None,
     is_constraint: bool = False,
+    n_cols: Optional[int] = None,
 ) -> Term:
     n_dof = world.chain.n_dof
+    nc = n_cols or n_dof
     last = (n_steps - 1) if last_step is None else last_step
     span = last - first_step + 1
     P = world.n_pairs
     n = span * P
 
     def fn(x, p):
-        X = x.reshape(n_steps, n_dof)[first_step:last + 1]
+        X = x.reshape(n_steps, nc)[first_step:last + 1, :n_dof]
         dists = jax.vmap(world.pair_distances)(X)  # (span, P)
         margins = _bcast(p["margins"], P, x.dtype)
         return (margins[None, :] - dists).reshape(-1)
@@ -74,9 +76,11 @@ def cast_collision_term(
     last_step: Optional[int] = None,
     n_sub: int = 8,
     is_constraint: bool = False,
+    n_cols: Optional[int] = None,
 ) -> Term:
     """Swept-volume collision over each step gap in [first, last-1]."""
     n_dof = world.chain.n_dof
+    nc = n_cols or n_dof
     last = (n_steps - 1) if last_step is None else last_step
     n_gaps = last - first_step
     assert n_gaps >= 1
@@ -84,7 +88,7 @@ def cast_collision_term(
     n = n_gaps * P
 
     def fn(x, p):
-        X = x.reshape(n_steps, n_dof)
+        X = x.reshape(n_steps, nc)[:, :n_dof]
         qa = X[first_step:last]
         qb = X[first_step + 1:last + 1]
         dists = jax.vmap(

@@ -45,9 +45,14 @@ def _stencil(order: int):
     raise ValueError(order)
 
 
-def _diff_rows(x, n_steps, n_dof, first, last, order):
-    """(n_rows,) stencil values over [first, last-order], step-major."""
-    X = x.reshape(n_steps, n_dof)
+def _diff_rows(x, n_steps, n_dof, first, last, order, n_cols=None):
+    """(n_rows,) stencil values over [first, last-order], step-major.
+
+    ``n_cols`` > n_dof when the variable grid carries extra columns (the
+    1/dt column of use_time problems, problem_description.cpp:553-592);
+    the stencil only touches the joint columns.
+    """
+    X = x.reshape(n_steps, n_cols or n_dof)[:, :n_dof]
     coefs = _stencil(order)
     span = last - order - first + 1
     out = jnp.zeros((span, n_dof), x.dtype)
@@ -56,19 +61,19 @@ def _diff_rows(x, n_steps, n_dof, first, last, order):
     return out.reshape(-1)
 
 
-def _eq_err_fn(n_steps, n_dof, first, last, order):
+def _eq_err_fn(n_steps, n_dof, first, last, order, n_cols=None):
     def fn(x, p):
-        vals = _diff_rows(x, n_steps, n_dof, first, last, order)
+        vals = _diff_rows(x, n_steps, n_dof, first, last, order, n_cols)
         span = last - order - first + 1
         targ = jnp.broadcast_to(jnp.asarray(p["targets"]), (span, n_dof))
         return vals - targ.reshape(-1)
     return fn
 
 
-def _tol_err_fn(n_steps, n_dof, first, last, order):
+def _tol_err_fn(n_steps, n_dof, first, last, order, n_cols=None):
     """Two-sided tolerance rows: [v - t - upper; t + lower - v]."""
     def fn(x, p):
-        vals = _diff_rows(x, n_steps, n_dof, first, last, order)
+        vals = _diff_rows(x, n_steps, n_dof, first, last, order, n_cols)
         span = last - order - first + 1
         targ = jnp.broadcast_to(jnp.asarray(p["targets"]), (span, n_dof)).reshape(-1)
         up = jnp.broadcast_to(jnp.asarray(p["upper_tols"]), (span, n_dof)).reshape(-1)
@@ -95,6 +100,7 @@ def joint_motion_term(
     last_step: Optional[int] = None,
     is_constraint: bool = False,
     toleranced: bool = False,
+    n_cols: Optional[int] = None,
 ) -> Term:
     """Build a joint pos(0)/vel(1)/acc(2)/jerk(3) term.
 
@@ -107,7 +113,7 @@ def joint_motion_term(
     n = span * n_dof
 
     if not toleranced:
-        fn = _eq_err_fn(n_steps, n_dof, first_step, last, order)
+        fn = _eq_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
         if is_constraint:
             # constraint rows are coeff-scaled (reference folds coeffs in)
             def cfn(x, p, base=fn):
@@ -117,7 +123,7 @@ def joint_motion_term(
             return eq_constraint(name, n, cfn)
         return squared_cost(name, n, fn, weight_fn=_weight_fn(span, n_dof))
 
-    fn = _tol_err_fn(n_steps, n_dof, first_step, last, order)
+    fn = _tol_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
     if is_constraint:
         def cfn(x, p, base=fn):
             w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
