@@ -1,4 +1,4 @@
-"""Flagship benchmark problems (BASELINE.json configs).
+"""Flagship benchmark problems (BASELINE.json configs) + benchmark suite.
 
 ``make_glass_upright`` builds the "glass-upright-class 7-DoF" problem the
 driver's north star targets: 7-DoF capsule arm over a table, joint_vel
@@ -7,6 +7,22 @@ every step, joint goal constraint, fixed start — 30-step horizon.
 
 Batch instances perturb the goal configuration (waypoint seeds / scenario
 perturbations), all served by one compiled program.
+
+``run_benchmarks`` mirrors the reference's google-benchmark families
+(trajopt/test/benchmarks/solve_benchmarks.cpp:35-177 and
+trajopt_sqp/test/benchmarks/solve_benchmarks.cpp):
+
+  simple_collision  — 2-DoF spherebot vs obstacle, full SQP solve
+                      (BM_TRAJOPT_SIMPLE_COLLISION_SOLVE)
+  planning          — 7-DoF arm around a table, 6 steps, joint_vel cost +
+                      cast collision (BM_TRAJOPT_PLANNING_SOLVE)
+  glass_upright     — the 30-step flagship (driver north star)
+
+The multi-threaded / IFOPT variants of the reference collapse onto the same
+entries here: term evaluation is fused by XLA (the OpenMP axis) and there is
+a single engine (the two reference stacks share one TPU implementation).
+Results are emitted as JSON (the analog of TRAJOPT_ENABLE_RUN_BENCHMARKING's
+build-dir JSON output).
 """
 
 from __future__ import annotations
@@ -81,3 +97,106 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         batch_data)
     return spec, batch_data, chain, world
+
+
+def make_simple_collision(batch: int, dtype=jnp.float64, seed: int = 0):
+    """2-DoF spherebot vs obstacle (simple_collision_test.json semantics;
+    BM_TRAJOPT_SIMPLE_COLLISION_SOLVE, solve_benchmarks.cpp:35-46)."""
+    from .models import spherebot
+    from .terms.collision import discrete_collision_term
+
+    model, chain = spherebot()
+    world = build_collision_world(model, chain)
+    b = TrajProblemBuilder(chain, 1)
+    b.add_cost(discrete_collision_term("coll_cost", world, 1),
+               {"margins": jnp.asarray(0.3, dtype),
+                "coeffs": jnp.asarray(1.0, dtype)})
+    b.add_cost(joint_pos_term("jpos", 1, 2),
+               {"targets": jnp.zeros(2, dtype), "coeffs": jnp.ones(2, dtype)})
+    b.add_constraint(discrete_collision_term("coll_cnt", world, 1,
+                                             is_constraint=True),
+                     {"margins": jnp.asarray(0.2, dtype),
+                      "coeffs": jnp.asarray(1.0, dtype)})
+    rng = np.random.default_rng(seed)
+    datas = []
+    for _ in range(batch):
+        q0 = np.array([-0.75, 0.75]) + rng.uniform(-0.05, 0.05, 2)
+        spec, data = b.build(jnp.asarray(q0, dtype)[None, :])
+        datas.append(data)
+    return spec, stack_data(datas), chain, world
+
+
+def make_planning(batch: int, n_steps: int = 6, dtype=jnp.float32,
+                  n_sub: int = 8, seed: int = 0):
+    """7-DoF arm moving around the table obstacle, joint_vel cost + swept
+    collision + joint goal (arm_around_table.json semantics;
+    BM_TRAJOPT_PLANNING_SOLVE, solve_benchmarks.cpp:49-61)."""
+    model, chain = arm7()
+    world = build_collision_world(model, chain)
+    T, D = n_steps, chain.n_dof
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_vel_term("jvel", T, D),
+               {"targets": jnp.zeros(D, dtype), "coeffs": jnp.ones(D, dtype)})
+    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
+               {"margins": jnp.asarray(0.025, dtype),
+                "coeffs": jnp.asarray(20.0, dtype)})
+    b.add_constraint(
+        joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
+                       is_constraint=True),
+        {"targets": jnp.asarray(Q_GOAL, dtype), "coeffs": jnp.ones(D, dtype)})
+    b.fix_timestep(0)
+    rng = np.random.default_rng(seed)
+    datas = []
+    for _ in range(batch):
+        goal = Q_GOAL + rng.uniform(-0.1, 0.1, D)
+        init = interpolated_init(jnp.asarray(Q_START, dtype),
+                                 jnp.asarray(goal, dtype), T)
+        spec, data = b.build(init)
+        data = data._replace(cnt_params=(
+            {"targets": jnp.asarray(goal, dtype), "coeffs": jnp.ones(D, dtype)},))
+        datas.append(data)
+    batch_data = stack_data(datas)
+    batch_data = jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        batch_data)
+    return spec, batch_data, chain, world
+
+
+_BENCHES = {
+    "simple_collision": lambda batch: make_simple_collision(
+        batch, dtype=jnp.float32),
+    "planning": lambda batch: make_planning(batch),
+    "glass_upright": lambda batch: make_glass_upright(batch),
+}
+
+
+def run_benchmarks(names=None, batch: int = 32, repeats: int = 3):
+    """Run the named benchmark families; returns a list of JSON-able dicts
+    {name, batch, wall_s, solves_per_sec, us_per_solve, converged}."""
+    import time
+
+    from .solver.sqp import _solve
+    from .solver.types import CONVERGED
+
+    out = []
+    for name in (names or list(_BENCHES)):
+        spec, data, _, _ = _BENCHES[name](batch)
+        params = bench_params()
+        run = jax.jit(lambda d, s=spec, p=params: jax.vmap(
+            lambda dd: _solve(s, p, dd))(d))
+        res = run(data)
+        jax.block_until_ready(res)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            res = run(data)
+            jax.block_until_ready(res)
+        dt = (time.perf_counter() - t0) / repeats
+        ok = int((np.asarray(res.status) == CONVERGED).sum())
+        out.append({
+            "name": name, "batch": batch, "wall_s": round(dt, 4),
+            "solves_per_sec": round(ok / dt, 2),
+            "us_per_solve": round(1e6 * dt / max(ok, 1), 1),
+            "converged": ok,
+            "mean_qp_solves": round(float(np.asarray(res.n_qp_solves).mean()), 2),
+        })
+    return out

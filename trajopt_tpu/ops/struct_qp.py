@@ -48,7 +48,6 @@ from .qp import (
     QP_SOLVED,
     QP_SOLVED_INACCURATE,
     QP_UNSOLVED,
-    _cho_solve,
 )
 
 
@@ -102,6 +101,16 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     # R split into row blocks (r1 hinge, r2 abs, r3 box, w4h/w4p/w4n slacks)
 
     def factorize(r1, r2, r3, w4h, w4p, w4n, sigma):
+        """Explicit inverse of the Schur-reduced KKT matrix.
+
+        TPU-first choice: per-ADMM-iteration triangular solves lower to
+        *sequential* row sweeps on TPU, while an inverse computed once per
+        rho segment turns every subsequent KKT solve into a single MXU
+        matvec.  The inverse is built from the Cholesky factor
+        (Linv' Linv), and every solve is followed by iterative refinement
+        against the exact K matvec, which restores backward accuracy lost
+        to the explicit inverse.
+        """
         Dh = r1 - r1 * r1 / (sigma + r1 + w4h)
         s00 = sigma + r2 + w4p
         s11 = sigma + r2 + w4n
@@ -109,9 +118,12 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         Da = r2 - r2 * r2 * (s00 + s11 - 2 * r2) / det
         K = P + jnp.diag(sigma + r3) + (Jh.T * Dh[None, :]) @ Jh \
             + (Ja.T * Da[None, :]) @ Ja
-        return jnp.linalg.cholesky(0.5 * (K + K.T))
+        L = jnp.linalg.cholesky(0.5 * (K + K.T))
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=dt), lower=True)
+        return Linv.T @ Linv
 
-    def kkt_solve(chol, r1, r2, r3, w4h, w4p, w4n, sigma, r_full):
+    def kkt_solve(Kinv, r1, r2, r3, w4h, w4p, w4n, sigma, r_full):
         r_x = r_full[:n]
         r_h = r_full[n:n + mh]
         r_p = r_full[n + mh:n + mh + ma]
@@ -122,7 +134,7 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         det = s00 * s11 - r2 * r2
         r_xp = r_x + Jh.T @ (r1 * r_h / ah) \
             - Ja.T @ (r2 * ((r2 - s11) * r_p + (s00 - r2) * r_n) / det)
-        dx = _cho_solve(chol, r_xp)
+        dx = Kinv @ r_xp
         Jhdx = Jh @ dx
         Jadx = Ja @ dx
         h = (r_h + r1 * Jhdx) / ah
@@ -183,20 +195,20 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     rho0 = jnp.asarray(s.rho, dt)
     rb0 = rho_blocks(rho0)
     w4h0, w4p0, w4n0 = split4(rb0[3])
-    chol0 = factorize(rb0[0], rb0[1], rb0[2], w4h0, w4p0, w4n0, s.sigma)
+    Kinv0 = factorize(rb0[0], rb0[1], rb0[2], w4h0, w4p0, w4n0, s.sigma)
     big = jnp.asarray(jnp.inf, dt)
 
     def admm_iter(_, carry):
-        uvar, z, y, rb, chol = carry
+        uvar, z, y, rb, Kinv = carry
         r1, r2, r3, r4 = rb
         w4h, w4p, w4n = split4(r4)
         rv = rho_vec_full(rb)
         rhs = s.sigma * uvar - q_full + At_mul(rv * z - y)
-        ut = kkt_solve(chol, r1, r2, r3, w4h, w4p, w4n, s.sigma, rhs)
+        ut = kkt_solve(Kinv, r1, r2, r3, w4h, w4p, w4n, s.sigma, rhs)
         if s.refine_steps > 0:
             def refine(_, ut):
                 r = rhs - K_matvec(r1, r2, r3, w4h, w4p, w4n, s.sigma, ut)
-                return ut + kkt_solve(chol, r1, r2, r3, w4h, w4p, w4n,
+                return ut + kkt_solve(Kinv, r1, r2, r3, w4h, w4p, w4n,
                                       s.sigma, r)
             ut = jax.lax.fori_loop(0, s.refine_steps, refine, ut)
         zt = A_mul(ut)
@@ -204,7 +216,7 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         z_cand = s.alpha * zt + (1 - s.alpha) * z
         z1 = jnp.clip(z_cand + y / rv, l, u_bnd)
         y1 = y + rv * (z_cand - z1)
-        return (u1, z1, y1, rb, chol)
+        return (u1, z1, y1, rb, Kinv)
 
     def residuals(uvar, z, y):
         Au = A_mul(uvar)
@@ -224,13 +236,13 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         z: jax.Array
         y: jax.Array
         rho: jax.Array
-        chol: jax.Array
+        Kinv: jax.Array
         it: jax.Array
         status: jax.Array
         rp: jax.Array
         rd: jax.Array
 
-    st0 = _St(uvar, z, y, rho0, chol0, jnp.int32(0), jnp.int32(QP_UNSOLVED),
+    st0 = _St(uvar, z, y, rho0, Kinv0, jnp.int32(0), jnp.int32(QP_UNSOLVED),
               big, big)
 
     def cond(st):
@@ -239,7 +251,7 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     def body(st):
         rb = rho_blocks(st.rho)
         uvar, z, y, _, _ = jax.lax.fori_loop(
-            0, s.check_interval, admm_iter, (st.u, st.z, st.y, rb, st.chol))
+            0, s.check_interval, admm_iter, (st.u, st.z, st.y, rb, st.Kinv))
         it = st.it + s.check_interval
         rp, rd, eps_p, eps_d = residuals(uvar, z, y)
         converged = (rp <= eps_p) & (rd <= eps_d)
@@ -261,8 +273,8 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         rho_nxt = jnp.where(do_adapt & big_change, rho_new, st.rho)
         rbn = rho_blocks(rho_nxt)
         w4h, w4p, w4n = split4(rbn[3])
-        chol = factorize(rbn[0], rbn[1], rbn[2], w4h, w4p, w4n, s.sigma)
-        return _St(uvar, z, y, rho_nxt, chol, it, status, rp, rd)
+        Kinv = factorize(rbn[0], rbn[1], rbn[2], w4h, w4p, w4n, s.sigma)
+        return _St(uvar, z, y, rho_nxt, Kinv, it, status, rp, rd)
 
     fin = jax.lax.while_loop(cond, body, st0)
 
@@ -283,15 +295,15 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     r2p = jnp.full((ma,), W, dt)  # equality rows always active
     r3p = W * act3
     sigma_p = jnp.asarray(1e-7 if dt == jnp.float32 else 1e-12, dt)
-    chol_p = factorize(r1p, r2p, r3p, w4h_p, w4p_p, w4n_p, sigma_p)
+    Kinv_p = factorize(r1p, r2p, r3p, w4h_p, w4p_p, w4n_p, sigma_p)
     b_act = jnp.concatenate([-eh, -ea, b3, jnp.zeros((mh + 2 * ma,), dt)])
     Wv = jnp.concatenate([r1p, r2p, r3p, w4h_p, w4p_p, w4n_p])
     rhs_p = -q_full + At_mul(Wv * b_act)
 
-    up = kkt_solve(chol_p, r1p, r2p, r3p, w4h_p, w4p_p, w4n_p, sigma_p, rhs_p)
+    up = kkt_solve(Kinv_p, r1p, r2p, r3p, w4h_p, w4p_p, w4n_p, sigma_p, rhs_p)
     for _ in range(3):
         r = rhs_p - K_matvec(r1p, r2p, r3p, w4h_p, w4p_p, w4n_p, sigma_p, up)
-        up = up + kkt_solve(chol_p, r1p, r2p, r3p, w4h_p, w4p_p, w4n_p,
+        up = up + kkt_solve(Kinv_p, r1p, r2p, r3p, w4h_p, w4p_p, w4n_p,
                             sigma_p, r)
     # polished duals on active rows: y_pol = W (A u - b) on active rows
     y_pol = Wv * (A_mul(up) - b_act)
