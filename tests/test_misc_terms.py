@@ -193,3 +193,28 @@ def test_callback_observes_and_aborts():
     res = solve(spec, data, params)
     assert int(res.status) == STOPPED_BY_CALLBACK
     assert len(seen) == 2
+
+
+def test_distributed_helpers_single_process():
+    """host_slice / global_batch_from_local on the virtual 8-device mesh."""
+    import jax
+    import numpy as np
+    from trajopt_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no-op single-process
+    lo, hi = dist.host_slice(13)
+    assert (lo, hi) == (0, 13)  # single process owns everything
+    mesh = dist.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+    from trajopt_tpu.solver.types import ProblemData
+    n = 16
+    local = ProblemData(
+        x0=np.zeros((n, 4)), lb=np.full((n, 4), -1.0),
+        ub=np.full((n, 4), 1.0), cost_params=(), cnt_params=())
+    g = dist.global_batch_from_local(local, mesh)
+    assert g.x0.shape == (n, 4)
+    assert g.x0.sharding.spec == jax.sharding.PartitionSpec("batch")
+
+    rep = dist.scaling_report(800.0, 8, 125.0)
+    assert abs(rep["efficiency"] - 0.8) < 1e-12
