@@ -121,7 +121,12 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         L = jnp.linalg.cholesky(0.5 * (K + K.T))
         Linv = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(n, dtype=dt), lower=True)
-        return Linv.T @ Linv
+        Kinv = Linv.T @ Linv
+        # One Newton-Schulz step: quadratically sharpens the f32 inverse
+        # (Kinv <- Kinv (2I - K Kinv)); costs two n^3 matmuls once per rho
+        # segment and keeps per-ADMM-iteration solves at one matvec.
+        Kinv = Kinv @ (2.0 * jnp.eye(n, dtype=dt) - K @ Kinv)
+        return 0.5 * (Kinv + Kinv.T)
 
     def kkt_solve(Kinv, r1, r2, r3, w4h, w4p, w4n, sigma, r_full):
         r_x = r_full[:n]
