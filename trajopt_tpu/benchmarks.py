@@ -45,11 +45,17 @@ Q_GOAL = np.array([1.1, 1.6, 0.0, -0.8, 0.0, -0.8, 0.0])
 
 
 def bench_params(dtype=jnp.float32) -> SQPParams:
-    """Throughput-tuned parameters (reference tolerance contract)."""
+    """Throughput-tuned parameters (reference tolerance contract).
+
+    Inner solver: the interior-point backend — it reaches the reference
+    accuracy contract in ~10 Newton steps where ADMM needs >1000 sweeps on
+    these trajectory QPs (see ops.ipm_qp).
+    """
     return SQPParams(
-        max_total_qp_solves=120,
+        max_total_qp_solves=60,
         qp=QPSettings(eps_abs=1e-4, eps_rel=1e-6, max_iter=1000,
-                      check_interval=25, adaptive_rho_interval=100),
+                      check_interval=25, adaptive_rho_interval=100,
+                      solver="ipm", max_ipm_iter=40),
     )
 
 

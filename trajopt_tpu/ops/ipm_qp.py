@@ -1,0 +1,315 @@
+"""Batched primal-dual interior-point solver for the SQP subproblem.
+
+The TPU-native analog of the reference's interior-point backend (BPMPD,
+trajopt_sco/src/bpmpd_interface.cpp) specialized to the trust-region SQP
+subproblem (hinge/abs slack form, trajopt_sqp/src/trajopt_qp_problem.cpp:
+28-34):
+
+  min  0.5 dx'P dx + q'dx + w_h'h + w_a'(p + nn)
+  s.t. Jh dx + e_h <= h,  h >= 0          (hinge penalties)
+       Ja dx - p + nn = -e_a,  p, nn >= 0 (abs / equality penalties)
+       lb <= dx <= ub                      (trust region ∩ limits)
+
+Why IPM here: these trajectory QPs are stiff enough that OSQP-style ADMM
+needs >1000 iterations to the reference accuracy contract, while Mehrotra
+predictor-corrector converges in ~10-30 steps whose per-step cost is one
+n-sized Cholesky + two solves — batched dense MXU math.  ADMM
+(ops.struct_qp) remains available as the OSQP-parity backend.
+
+Structure exploitation: eliminating (h, p, nn) slack/dual blocks reduces
+every Newton system to
+
+  K = P + Jh' D_h Jh + Ja' D_a Ja + D_box     (n x n, SPD)
+
+with iteration-dependent positive diagonals — the same condensed form the
+ADMM path factorizes, so the QP never materializes slack-augmented KKT
+matrices.  Dual structure: the hinge dual satisfies z1 in (0, w_h) (its
+complement z2 = w_h - z1), the abs dual y in (-w_a, w_a) (z3 = w_a - y,
+z4 = w_a + y) — the IPM keeps every pair strictly interior and drives the
+barrier parameter mu -> 0 with Mehrotra's adaptive sigma = (mu_aff/mu)^3.
+
+Equal bounds (fixed timesteps/dofs, lb == ub) have no interior; those
+coordinates are pinned by a final clip (exact, since the trust box is a
+box).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .prox_qp import ProxQPData
+from .qp import (
+    QPSettings,
+    QP_MAX_ITER,
+    QP_SOLVED,
+    QP_SOLVED_INACCURATE,
+    QP_UNSOLVED,
+)
+from .struct_qp import StructQPSolution
+
+_FTB = 0.99  # fraction-to-boundary
+_WMIN = 1e-10  # weight floor so zero-weight rows stay formally interior
+
+
+@partial(jax.jit, static_argnums=(1,))
+def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
+                 u0: Optional[jax.Array] = None,
+                 y0: Optional[jax.Array] = None) -> StructQPSolution:
+    """Drop-in replacement for ops.struct_qp.solve_struct_qp.
+
+    (u0, y0) are accepted for interface parity; IPM re-initializes from a
+    well-centered point (warm starts don't help interior-point methods).
+    """
+    s = settings
+    n = data.q.shape[0]
+    mh = data.e_h.shape[0]
+    ma = data.e_a.shape[0]
+    m = mh + ma + n + mh + 2 * ma  # ADMM-layout dual vector length
+    dt = data.q.dtype
+
+    # ---- row normalization + cost scaling (as the ADMM path) ----
+    rh = jnp.maximum(jnp.max(jnp.abs(data.A_h), axis=1), 1e-8) if mh else jnp.ones((0,), dt)
+    ra = jnp.maximum(jnp.max(jnp.abs(data.A_a), axis=1), 1e-8) if ma else jnp.ones((0,), dt)
+    Jh = data.A_h / rh[:, None] if mh else data.A_h
+    Ja = data.A_a / ra[:, None] if ma else data.A_a
+    eh = data.e_h / rh
+    ea = data.e_a / ra
+    cnorm = jnp.maximum(jnp.maximum(jnp.mean(jnp.abs(data.P)),
+                                    jnp.max(jnp.abs(data.q))), 1.0)
+    c = 1.0 / cnorm
+    P = data.P * c
+    q = data.q * c
+    wh = jnp.maximum(data.w_h * rh * c, _WMIN)
+    wa = jnp.maximum(data.w_a * ra * c, _WMIN)
+
+    lb, ub = data.lb, data.ub
+    width = ub - lb
+    # zero-width (pinned) coordinates get a tiny synthetic interior; final
+    # dx is clipped back onto [lb, ub] exactly.
+    pin = width < 1e-12
+    lb_i = jnp.where(pin, lb - 1e-8, lb)
+    ub_i = jnp.where(pin, ub + 1e-8, ub)
+
+    # ---- initial interior point ----
+    dx = jnp.clip(jnp.zeros((n,), dt), lb_i + 0.01 * (ub_i - lb_i),
+                  ub_i - 0.01 * (ub_i - lb_i))
+    g = Jh @ dx + eh if mh else jnp.zeros((0,), dt)
+    h = jnp.maximum(g, 0.0) + 1.0
+    s1 = h - g  # >= 1
+    r0 = Ja @ dx + ea if ma else jnp.zeros((0,), dt)
+    p = jnp.maximum(r0, 0.0) + 1.0
+    nn = p - r0  # >= 1, makes the equality exact at the start
+    z1 = 0.5 * wh
+    y = jnp.zeros((ma,), dt)
+    z5 = jnp.ones((n,), dt)
+    z6 = jnp.ones((n,), dt)
+
+    n_pairs = mh + mh + ma + ma + n + n
+
+    def mu_of(z1, s1, h, p, nn, y, dx, z5, z6):
+        z2 = wh - z1
+        z3 = wa - y
+        z4 = wa + y
+        tot = (z1 @ s1 + z2 @ h if mh else 0.0)
+        tot = tot + (z3 @ p + z4 @ nn if ma else 0.0)
+        tot = tot + z5 @ (dx - lb_i) + z6 @ (ub_i - dx)
+        return tot / n_pairs
+
+    def residuals(dx, h, p, nn, z1, y, z5, z6):
+        rdx = P @ dx + q + (Jh.T @ z1 if mh else 0.0) \
+            + (Ja.T @ y if ma else 0.0) - z5 + z6
+        re = (Ja @ dx - p + nn + ea) if ma else jnp.zeros((0,), dt)
+        return rdx, re
+
+    class _St(NamedTuple):
+        dx: jax.Array
+        h: jax.Array
+        p: jax.Array
+        nn: jax.Array
+        z1: jax.Array
+        y: jax.Array
+        z5: jax.Array
+        z6: jax.Array
+        it: jax.Array
+        status: jax.Array
+        rp: jax.Array
+        rd: jax.Array
+
+    def kkt_diags(st, ):
+        z2 = wh - st.z1
+        z3 = wa - st.y
+        z4 = wa + st.y
+        s1 = st.h - (Jh @ st.dx + eh) if mh else jnp.zeros((0,), dt)
+        dh = st.z1 * z2 / (st.h * st.z1 + s1 * z2) if mh else s1
+        da = 1.0 / (st.p / z3 + st.nn / z4) if ma else jnp.zeros((0,), dt)
+        dbox = st.z5 / (st.dx - lb_i) + st.z6 / (ub_i - st.dx)
+        return s1, z2, z3, z4, dh, da, dbox
+
+    def newton(st, Kinv, s1, z2, z3, z4, rc1, rc2, rc3, rc4, rc5, rc6,
+               rdx, re):
+        """Solve the condensed Newton system for given complementarity rhs.
+
+        Sign convention: steps DECREASE the residuals (we solve J dW = -r).
+        """
+        denom_h = st.h * st.z1 + s1 * z2 if mh else s1
+        b_h = (rc1 * z2 - st.z1 * rc2) / denom_h if mh else rc1
+        da = 1.0 / (st.p / z3 + st.nn / z4) if ma else jnp.zeros((0,), dt)
+        b_a = -re + rc3 / z3 - rc4 / z4 if ma else re
+        rhs = -rdx - (Jh.T @ b_h if mh else 0.0) \
+            + (Ja.T @ (da * b_a) if ma else 0.0) \
+            + rc5 / (st.dx - lb_i) - rc6 / (ub_i - st.dx)
+        ddx = Kinv @ rhs
+        # one refinement step against the exact condensed matrix
+        dh_diag = st.z1 * z2 / denom_h if mh else denom_h
+        dbox = st.z5 / (st.dx - lb_i) + st.z6 / (ub_i - st.dx)
+        K_mv = (P @ ddx + (Jh.T @ (dh_diag * (Jh @ ddx)) if mh else 0.0)
+                + (Ja.T @ (da * (Ja @ ddx)) if ma else 0.0) + dbox * ddx)
+        ddx = ddx + Kinv @ (rhs - K_mv)
+
+        dz1 = dh_diag * (Jh @ ddx) + b_h if mh else b_h
+        dh = (rc2 + st.h * dz1) / z2 if mh else st.h
+        dy = da * ((Ja @ ddx) - b_a) if ma else jnp.zeros((0,), dt)
+        dp = (rc3 + st.p * dy) / z3 if ma else st.p
+        dnn = (rc4 - st.nn * dy) / z4 if ma else st.nn
+        dz5 = (rc5 - st.z5 * ddx) / (st.dx - lb_i)
+        dz6 = (rc6 + st.z6 * ddx) / (ub_i - st.dx)
+        ds1 = dh - (Jh @ ddx) if mh else dh
+        return ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1
+
+    def max_step(v, dv, cap=1e10):
+        """Largest alpha in (0, 1] with v + alpha*dv >= (1-_FTB)*v."""
+        bad = dv < 0
+        a = jnp.where(bad, -_FTB * v / jnp.where(bad, dv, -1.0), cap)
+        return jnp.minimum(jnp.min(a, initial=1.0), 1.0)
+
+    def body(st: _St):
+        s1, z2, z3, z4, dh_d, da_d, dbox = kkt_diags(st)
+        K = P + jnp.diag(dbox)
+        if mh:
+            K = K + (Jh.T * dh_d[None, :]) @ Jh
+        if ma:
+            K = K + (Ja.T * da_d[None, :]) @ Ja
+        L = jnp.linalg.cholesky(0.5 * (K + K.T)
+                                + 1e-9 * jnp.eye(n, dtype=dt))
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=dt), lower=True)
+        Kinv = Linv.T @ Linv
+
+        rdx, re = residuals(st.dx, st.h, st.p, st.nn, st.z1, st.y,
+                            st.z5, st.z6)
+        mu = mu_of(st.z1, s1, st.h, st.p, st.nn, st.y, st.dx, st.z5, st.z6)
+
+        # ---- affine (predictor) step: rc = -z*s ----
+        aff = newton(st, Kinv, s1, z2, z3, z4,
+                     -st.z1 * s1 if mh else s1,
+                     -z2 * st.h if mh else s1,
+                     -z3 * st.p if ma else st.p,
+                     -z4 * st.nn if ma else st.nn,
+                     -st.z5 * (st.dx - lb_i),
+                     -st.z6 * (ub_i - st.dx),
+                     rdx, re)
+        ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1 = aff
+        # primal/dual max steps (z2 = wh - z1 decreases when dz1 > 0;
+        # z3 = wa - y with dy > 0; z4 = wa + y with dy < 0)
+        a = jnp.minimum(max_step(st.dx - lb_i, ddx),
+                        max_step(ub_i - st.dx, -ddx))
+        a = jnp.minimum(a, max_step(st.z5, dz5))
+        a = jnp.minimum(a, max_step(st.z6, dz6))
+        if mh:
+            a = jnp.minimum(a, max_step(s1, ds1))
+            a = jnp.minimum(a, max_step(st.h, dh))
+            a = jnp.minimum(a, max_step(st.z1, dz1))
+            a = jnp.minimum(a, max_step(z2, -dz1))
+        if ma:
+            a = jnp.minimum(a, max_step(st.p, dp))
+            a = jnp.minimum(a, max_step(st.nn, dnn))
+            a = jnp.minimum(a, max_step(z3, -dy))
+            a = jnp.minimum(a, max_step(z4, dy))
+        mu_aff = mu_of(st.z1 + a * dz1, s1 + a * ds1, st.h + a * dh,
+                       st.p + a * dp, st.nn + a * dnn, st.y + a * dy,
+                       st.dx + a * ddx, st.z5 + a * dz5, st.z6 + a * dz6)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # ---- corrector step with Mehrotra second-order terms ----
+        smu = sigma * mu
+        cor = newton(st, Kinv, s1, z2, z3, z4,
+                     smu - st.z1 * s1 - dz1 * ds1 if mh else s1,
+                     smu - z2 * st.h - (-dz1) * dh if mh else s1,
+                     smu - z3 * st.p - (-dy) * dp if ma else st.p,
+                     smu - z4 * st.nn - dy * dnn if ma else st.nn,
+                     smu - st.z5 * (st.dx - lb_i) - dz5 * ddx,
+                     smu - st.z6 * (ub_i - st.dx) - dz6 * (-ddx),
+                     rdx, re)
+        ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1 = cor
+        a = jnp.minimum(max_step(st.dx - lb_i, ddx),
+                        max_step(ub_i - st.dx, -ddx))
+        a = jnp.minimum(a, max_step(st.z5, dz5))
+        a = jnp.minimum(a, max_step(st.z6, dz6))
+        if mh:
+            a = jnp.minimum(a, max_step(s1, ds1))
+            a = jnp.minimum(a, max_step(st.h, dh))
+            a = jnp.minimum(a, max_step(st.z1, dz1))
+            a = jnp.minimum(a, max_step(z2, -dz1))
+        if ma:
+            a = jnp.minimum(a, max_step(st.p, dp))
+            a = jnp.minimum(a, max_step(st.nn, dnn))
+            a = jnp.minimum(a, max_step(z3, -dy))
+            a = jnp.minimum(a, max_step(z4, dy))
+
+        dx1 = st.dx + a * ddx
+        h1 = st.h + a * dh if mh else st.h
+        p1 = st.p + a * dp if ma else st.p
+        nn1 = st.nn + a * dnn if ma else st.nn
+        z1_1 = st.z1 + a * dz1 if mh else st.z1
+        y1 = st.y + a * dy if ma else st.y
+        z5_1 = st.z5 + a * dz5
+        z6_1 = st.z6 + a * dz6
+
+        # ---- unscaled termination residuals ----
+        rdx1, re1 = residuals(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1)
+        rd_u = jnp.max(jnp.abs(rdx1)) / c
+        rp_u = jnp.max(jnp.abs(re1)) if ma else jnp.asarray(0.0, dt)
+        mu1 = mu_of(z1_1, h1 - (Jh @ dx1 + eh) if mh else h1, h1,
+                    p1, nn1, y1, dx1, z5_1, z6_1)
+        conv = (rd_u <= s.eps_abs) & (rp_u <= s.eps_abs) & \
+            (mu1 / c <= s.eps_abs * 0.1)
+        status = jnp.where(conv, jnp.int32(QP_SOLVED), st.status)
+        return _St(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1,
+                   st.it + 1, status, rp_u, rd_u)
+
+    def cond(st: _St):
+        return (st.status == QP_UNSOLVED) & (st.it < s.max_ipm_iter)
+
+    big = jnp.asarray(jnp.inf, dt)
+    st0 = _St(dx, h, p, nn, z1, y, z5, z6, jnp.int32(0),
+              jnp.int32(QP_UNSOLVED), big, big)
+    fin = jax.lax.while_loop(cond, body, st0)
+
+    status = jnp.where(
+        fin.status == QP_UNSOLVED,
+        jnp.where((fin.rp < 1e-2) & (fin.rd < 1e-2),
+                  jnp.int32(QP_SOLVED_INACCURATE), jnp.int32(QP_MAX_ITER)),
+        fin.status)
+
+    dx_out = jnp.clip(fin.dx, lb, ub)  # exact pin for lb == ub coords
+    u_out = jnp.concatenate([dx_out, fin.h, fin.p, fin.nn])
+    # duals in the ADMM row layout (hinge, abs, box, slack bounds); like the
+    # ADMM path these stay in row-normalized space, unscaled by the cost
+    # factor only (they serve as warm starts for the next related solve)
+    z2f = wh - fin.z1
+    z3f = wa - fin.y
+    z4f = wa + fin.y
+    y_out = jnp.concatenate([
+        fin.z1 / c,
+        fin.y / c,
+        (fin.z6 - fin.z5) / c,
+        -z2f / c,
+        -z3f / c,
+        -z4f / c,
+    ])
+    return StructQPSolution(dx_out, u_out, y_out, status, fin.it,
+                            fin.rp, fin.rd)

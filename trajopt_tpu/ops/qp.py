@@ -68,6 +68,10 @@ class QPSettings:
     adaptive_rho_tol: float = 5.0  # only change rho if ratio exceeds this
     scaling_iters: int = 10
     refine_steps: int = 1  # iterative-refinement steps on each KKT solve
+    # inner solver for the SQP subproblem: "admm" (OSQP parity) or "ipm"
+    # (Mehrotra predictor-corrector, ops.ipm_qp — the BPMPD-class backend)
+    solver: str = "admm"
+    max_ipm_iter: int = 40
 
 
 class QPData(NamedTuple):

@@ -299,6 +299,7 @@ class _State(NamedTuple):
     penalty_it: jax.Array
     qp_fails: jax.Array
     n_qp: jax.Array
+    n_admm: jax.Array
     n_fev: jax.Array
     status: jax.Array
     warm_dx: jax.Array
@@ -337,6 +338,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         penalty_it=jnp.int32(0),
         qp_fails=jnp.int32(0),
         n_qp=jnp.int32(0),
+        n_admm=jnp.int32(0),
         n_fev=jnp.int32(1),
         status=jnp.int32(RUNNING),
         warm_dx=jnp.zeros((n_qp,), dt),
@@ -352,7 +354,11 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         w_h, w_a = _merit_row_weights(plan, cvx, st.merit)
         qp_data = _assemble_qp(plan, cvx, w_h, w_a, st.x, st.box,
                                data.lb, data.ub)
-        sol = solve_struct_qp(qp_data, p.qp, st.warm_dx, st.warm_y)
+        if p.qp.solver == "ipm":
+            from ..ops.ipm_qp import solve_ipm_qp
+            sol = solve_ipm_qp(qp_data, p.qp, st.warm_dx, st.warm_y)
+        else:
+            sol = solve_struct_qp(qp_data, p.qp, st.warm_dx, st.warm_y)
         dx = sol.x
 
         new_x = st.x + dx
@@ -476,7 +482,8 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         return _State(
             x=x1, box=box2, merit=merit1, cost_vals=cost1, cnt_viols=viol1,
             it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
-            n_qp=st.n_qp + 1, n_fev=st.n_fev + 1, status=status2,
+            n_qp=st.n_qp + 1, n_admm=st.n_admm + sol.iters,
+            n_fev=st.n_fev + 1, status=status2,
             warm_dx=sol.u, warm_y=sol.y, hist=hist,
         )
 
@@ -497,6 +504,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         total_cost=jnp.sum(st.cost_vals),
         n_func_evals=st.n_fev,
         n_qp_solves=st.n_qp,
+        n_admm_iters=st.n_admm,
         merit_coeffs=st.merit,
         trust_box_size=st.box,
         history=st.hist,

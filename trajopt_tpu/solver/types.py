@@ -118,6 +118,7 @@ class SQPResult(NamedTuple):
     total_cost: jax.Array  # () sum of cost_vals
     n_func_evals: jax.Array  # () int32
     n_qp_solves: jax.Array  # () int32
+    n_admm_iters: jax.Array  # () int32 total inner ADMM iterations
     merit_coeffs: jax.Array  # (n_cnt,) final penalty coefficients
     trust_box_size: jax.Array  # () final trust region size
     history: jax.Array  # (record_history, len(HISTORY_FIELDS)); (0, F) if off

@@ -59,26 +59,39 @@ def cart_pose_term(
     src = chain.link_index(source_link)
     tgt = chain.link_index(target_link) if target_link is not None else None
 
-    def fn(x, p):
-        q = x.reshape(n_steps, nc)[step, :n_dof]
+    def _err_q(q, p, dtype):
         Rs, ps = _link_pose_with_offset(
-            chain, q, src, jnp.asarray(p["source_off_R"], x.dtype),
-            jnp.asarray(p["source_off_p"], x.dtype))
+            chain, q, src, jnp.asarray(p["source_off_R"], dtype),
+            jnp.asarray(p["source_off_p"], dtype))
         if tgt is None:
-            Rt = jnp.asarray(p["target_R"], x.dtype)
-            pt = jnp.asarray(p["target_p"], x.dtype)
+            Rt = jnp.asarray(p["target_R"], dtype)
+            pt = jnp.asarray(p["target_p"], dtype)
         else:
             Rt, pt = _link_pose_with_offset(
-                chain, q, tgt, jnp.asarray(p["target_R"], x.dtype),
-                jnp.asarray(p["target_p"], x.dtype))
+                chain, q, tgt, jnp.asarray(p["target_R"], dtype),
+                jnp.asarray(p["target_p"], dtype))
         err = transform_error(Rt, pt, Rs, ps)
-        return err * jnp.asarray(p["coeffs"], x.dtype)
+        return err * jnp.asarray(p["coeffs"], dtype)
+
+    def fn(x, p):
+        q = x.reshape(n_steps, nc)[step, :n_dof]
+        return _err_q(q, p, x.dtype)
+
+    def jac_fn(x, p):
+        """Rows depend on one step's joints: differentiate w.r.t. q_step
+        (n_dof tangents) and pad, instead of n_x tangents through FK."""
+        import jax
+        q = x.reshape(n_steps, nc)[step, :n_dof]
+        Jq = jax.jacfwd(lambda qq: _err_q(qq, p, x.dtype))(q)  # (6, D)
+        J = jnp.zeros((6, n_steps, nc), x.dtype)
+        J = J.at[:, step, :n_dof].set(Jq)
+        return J.reshape(6, n_steps * nc)
 
     if is_constraint:
-        return eq_constraint(name, 6, fn)
+        return eq_constraint(name, 6, fn, jac_fn=jac_fn)
     if kind == "squared":
-        return squared_cost(name, 6, fn)
-    return abs_cost(name, 6, fn)
+        return squared_cost(name, 6, fn, jac_fn=jac_fn)
+    return abs_cost(name, 6, fn, jac_fn=jac_fn)
 
 
 def default_cart_pose_params(target_R=None, target_p=None, pos_coeffs=1.0,
@@ -167,10 +180,23 @@ def upright_term(
         c = jnp.broadcast_to(jnp.asarray(p["coeffs"], x.dtype), (2,))
         return (zaxes * c[None, :]).reshape(-1)
 
+    def jac_fn(x, p):
+        """Per-step differentiation (n_dof tangents per step, banded
+        scatter) — rows at step t depend only on q_t."""
+        import jax
+        X = x.reshape(n_steps, n_dof)[first_step:last + 1]
+        c = jnp.broadcast_to(jnp.asarray(p["coeffs"], x.dtype), (2,))
+        Js = jax.vmap(jax.jacfwd(
+            lambda q: chain.fk(q)[0][li][:2, 2] * c))(X)  # (span, 2, D)
+        J = jnp.zeros((span, 2, n_steps, n_dof), x.dtype)
+        s = jnp.arange(span)
+        J = J.at[s, :, first_step + s, :].set(Js)
+        return J.reshape(2 * span, n_steps * n_dof)
+
     n = 2 * span
     if is_constraint:
-        return eq_constraint(name, n, fn)
-    return squared_cost(name, n, fn)
+        return eq_constraint(name, n, fn, jac_fn=jac_fn)
+    return squared_cost(name, n, fn, jac_fn=jac_fn)
 
 
 def cart_vel_term(

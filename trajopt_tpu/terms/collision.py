@@ -60,12 +60,31 @@ def discrete_collision_term(
         w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
         return jnp.tile(w, span)
 
+    def jac_fn(x, p, cf=None):
+        """Structure-aware Jacobian: each row block depends on ONE step's
+        n_dof joints, so differentiate per-step (n_dof tangents) and scatter
+        into the banded (span*P, n_x) layout instead of pushing n_x tangents
+        through the whole FK/SDF stack (a ~n_steps x convexification
+        speedup; the band structure is SURVEY.md §5.7(a))."""
+        X = x.reshape(n_steps, nc)
+        Q = X[first_step:last + 1, :n_dof]
+        Js = jax.vmap(jax.jacfwd(world.pair_distances))(Q)  # (span, P, D)
+        if cf is not None:
+            Js = Js * cf(p)[None, :, None]
+        J = jnp.zeros((span, P, n_steps, nc), x.dtype)
+        sidx = jnp.arange(span)
+        J = J.at[sidx, :, first_step + sidx, :n_dof].set(-Js)
+        return J.reshape(span * P, n_steps * nc)
+
     if is_constraint:
         def cfn(x, p):
             w = _bcast(p["coeffs"], P, x.dtype)
             return fn(x, p) * jnp.tile(w, span)
-        return ineq_constraint(name, n, cfn)
-    return hinge_cost(name, n, fn, weight_fn=wf)
+        return ineq_constraint(
+            name, n, cfn,
+            jac_fn=lambda x, p: jac_fn(
+                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)))
+    return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn)
 
 
 def cast_collision_term(
@@ -100,12 +119,40 @@ def cast_collision_term(
         w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
         return jnp.tile(w, n_gaps)
 
+    def jac_fn(x, p, cf=None):
+        """Structure-aware Jacobian: each gap's rows depend only on the two
+        adjacent steps (2*n_dof tangents through the swept-distance stack
+        instead of n_x), scattered into the banded layout.  The gradient
+        split between the gap endpoints is autodiff through the
+        interpolation (the reference's cc_time weighting,
+        collision_terms.cpp:262-323)."""
+        X = x.reshape(n_steps, nc)
+        Q = X[:, :n_dof]
+        qa = Q[first_step:last]
+        qb = Q[first_step + 1:last + 1]
+        Jab = jax.vmap(jax.jacfwd(
+            lambda a, b: world.cast_pair_distances(a, b, n_sub),
+            argnums=(0, 1)))(qa, qb)  # 2 x (n_gaps, P, D)
+        Ja_, Jb_ = Jab
+        if cf is not None:
+            w = cf(p)
+            Ja_ = Ja_ * w[None, :, None]
+            Jb_ = Jb_ * w[None, :, None]
+        J = jnp.zeros((n_gaps, P, n_steps, nc), x.dtype)
+        g = jnp.arange(n_gaps)
+        J = J.at[g, :, first_step + g, :n_dof].set(-Ja_)
+        J = J.at[g, :, first_step + 1 + g, :n_dof].set(-Jb_)
+        return J.reshape(n_gaps * P, n_steps * nc)
+
     if is_constraint:
         def cfn(x, p):
             w = _bcast(p["coeffs"], P, x.dtype)
             return fn(x, p) * jnp.tile(w, n_gaps)
-        return ineq_constraint(name, n, cfn)
-    return hinge_cost(name, n, fn, weight_fn=wf)
+        return ineq_constraint(
+            name, n, cfn,
+            jac_fn=lambda x, p: jac_fn(
+                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)))
+    return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn)
 
 
 def trajectory_in_collision(world: CollisionWorld, X: jax.Array,

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from .base import (
     Term,
@@ -91,6 +92,21 @@ def _weight_fn(span, n_dof, doubled=False):
     return wf
 
 
+def _stencil_jac(n_steps, n_dof, first, last, order, n_cols=None):
+    """Analytic banded Jacobian of the stencil rows — a CONSTANT matrix
+    (the reference pre-builds these quadratic forms once,
+    trajectory_costs.cpp:28-55); autodiff here would push n_x tangents
+    through pure data movement every convexification."""
+    nc = n_cols or n_dof
+    span = last - order - first + 1
+    J = np.zeros((span, n_dof, n_steps, nc))
+    for k, c in enumerate(_stencil(order)):
+        for s in range(span):
+            for d in range(n_dof):
+                J[s, d, first + k + s, d] += c
+    return jnp.asarray(J.reshape(span * n_dof, n_steps * nc))
+
+
 def joint_motion_term(
     name: str,
     order: int,
@@ -111,6 +127,7 @@ def joint_motion_term(
     span = last - order - first_step + 1
     assert span >= 1, f"{name}: trajectory too short for order {order}"
     n = span * n_dof
+    S = _stencil_jac(n_steps, n_dof, first_step, last, order, n_cols)
 
     if not toleranced:
         fn = _eq_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
@@ -120,18 +137,30 @@ def joint_motion_term(
                 w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
                                      (span, n_dof)).reshape(-1)
                 return base(x, p) * w
-            return eq_constraint(name, n, cfn)
-        return squared_cost(name, n, fn, weight_fn=_weight_fn(span, n_dof))
+            def cjac(x, p):
+                w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
+                                     (span, n_dof)).reshape(-1)
+                return w[:, None] * S.astype(x.dtype)
+            return eq_constraint(name, n, cfn, jac_fn=cjac)
+        return squared_cost(name, n, fn, weight_fn=_weight_fn(span, n_dof),
+                            jac_fn=lambda x, p: S.astype(x.dtype))
 
     fn = _tol_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
+    # tolerance rows are [v - t - up; t + lo - v] => jac = [S; -S]
+    S2 = jnp.concatenate([S, -S])
     if is_constraint:
         def cfn(x, p, base=fn):
             w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
                                  (span, n_dof)).reshape(-1)
             return base(x, p) * jnp.concatenate([w, w])
-        return ineq_constraint(name, 2 * n, cfn)
+        def cjac2(x, p):
+            w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
+                                 (span, n_dof)).reshape(-1)
+            return jnp.concatenate([w, w])[:, None] * S2.astype(x.dtype)
+        return ineq_constraint(name, 2 * n, cfn, jac_fn=cjac2)
     return hinge_cost(name, 2 * n, fn,
-                      weight_fn=_weight_fn(span, n_dof, doubled=True))
+                      weight_fn=_weight_fn(span, n_dof, doubled=True),
+                      jac_fn=lambda x, p: S2.astype(x.dtype))
 
 
 def joint_pos_term(name, n_steps, n_dof, **kw) -> Term:
