@@ -76,14 +76,12 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
         joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
                        is_constraint=True),
         {"targets": jnp.asarray(Q_GOAL, dtype), "coeffs": jnp.ones(D, dtype)})
-    # one upright term PER TIMESTEP — matches the reference's granularity
-    # (CartPoseTermInfo hatches one term per step), so the per-term
-    # cnt_tolerance check is comparable
-    for t in range(T):
-        b.add_constraint(
-            upright_term(f"upright_{t}", chain, T, "tool",
-                         first_step=t, last_step=t),
-            {"coeffs": jnp.ones(2, dtype)})
+    # one batched upright term whose viol_groups give per-step convergence
+    # granularity (the reference hatches one pose term per step) while the
+    # FK evaluation stays a single fused vmap
+    b.add_constraint(
+        upright_term("upright", chain, T, "tool"),
+        {"coeffs": jnp.ones(2, dtype)})
     b.fix_timestep(0)
 
     rng = np.random.default_rng(seed)
@@ -100,7 +98,8 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
             cnt_params=(
                 {"targets": jnp.asarray(goal, dtype),
                  "coeffs": jnp.ones(D, dtype)},
-            ) + tuple({"coeffs": jnp.ones(2, dtype)} for _ in range(T)))
+                {"coeffs": jnp.ones(2, dtype)},
+            ))
         datas.append(data)
     batch_data = stack_data(datas)
     batch_data = jax.tree.map(

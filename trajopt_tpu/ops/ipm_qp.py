@@ -269,17 +269,35 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         z5_1 = st.z5 + a * dz5
         z6_1 = st.z6 + a * dz6
 
-        # ---- unscaled termination residuals ----
+        # ---- termination: eps_abs + eps_rel * scale (OSQP criterion) ----
+        # merit-coefficient escalation scales the stationarity terms by up
+        # to 1e6, so an absolute-only dual test is unreachable in f32
         rdx1, re1 = residuals(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1)
+        d_scale = jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(P @ dx1)), jnp.max(jnp.abs(q))),
+            jnp.maximum(jnp.max(jnp.abs(z5_1)), jnp.max(jnp.abs(z6_1))))
+        if mh:
+            d_scale = jnp.maximum(d_scale, jnp.max(jnp.abs(Jh.T @ z1_1)))
+        if ma:
+            d_scale = jnp.maximum(d_scale, jnp.max(jnp.abs(Ja.T @ y1)))
+        p_scale = (jnp.maximum(jnp.maximum(jnp.max(jnp.abs(Ja @ dx1)),
+                                           jnp.max(jnp.abs(p1 - nn1))),
+                               jnp.max(jnp.abs(ea)))
+                   if ma else jnp.asarray(0.0, dt))
         rd_u = jnp.max(jnp.abs(rdx1)) / c
         rp_u = jnp.max(jnp.abs(re1)) if ma else jnp.asarray(0.0, dt)
+        eps_d = s.eps_abs + 10.0 * s.eps_rel * d_scale / c
+        eps_p = s.eps_abs + 10.0 * s.eps_rel * p_scale
         mu1 = mu_of(z1_1, h1 - (Jh @ dx1 + eh) if mh else h1, h1,
                     p1, nn1, y1, dx1, z5_1, z6_1)
-        conv = (rd_u <= s.eps_abs) & (rp_u <= s.eps_abs) & \
-            (mu1 / c <= s.eps_abs * 0.1)
+        eps_mu = s.eps_abs * 0.1 + s.eps_rel * d_scale / c
+        # store eps-normalized ratios (scale-free; <= 1 means converged)
+        rp_r = rp_u / eps_p
+        rd_r = jnp.maximum(rd_u / eps_d, (mu1 / c) / eps_mu)
+        conv = (rp_r <= 1.0) & (rd_r <= 1.0)
         status = jnp.where(conv, jnp.int32(QP_SOLVED), st.status)
         return _St(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1,
-                   st.it + 1, status, rp_u, rd_u)
+                   st.it + 1, status, rp_r, rd_r)
 
     def cond(st: _St):
         return (st.status == QP_UNSOLVED) & (st.it < s.max_ipm_iter)
@@ -289,9 +307,11 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
               jnp.int32(QP_UNSOLVED), big, big)
     fin = jax.lax.while_loop(cond, body, st0)
 
+    # fin.rp / fin.rd are eps-normalized ratios; within 100x of the target
+    # accuracy is a usable (inaccurate) step for the trust-region loop
     status = jnp.where(
         fin.status == QP_UNSOLVED,
-        jnp.where((fin.rp < 1e-2) & (fin.rd < 1e-2),
+        jnp.where((fin.rp < 100.0) & (fin.rd < 100.0),
                   jnp.int32(QP_SOLVED_INACCURATE), jnp.int32(QP_MAX_ITER)),
         fin.status)
 

@@ -68,6 +68,12 @@ class _Plan:
     m_sq: int
     m_h: int
     m_a: int
+    # violation-entry layout: constraint j owns entries
+    # [entry_start[j], entry_start[j] + viol_groups[j]) — each group is one
+    # reference-granularity constraint with its own merit coefficient
+    # (one-term-per-step/gap hatching, problem_description.cpp:1726)
+    entries: tuple  # per cnt_idx: (entry_start, n_groups)
+    n_entries: int
 
 
 def _plan(spec: ProblemSpec) -> _Plan:
@@ -103,8 +109,13 @@ def _plan(spec: ProblemSpec) -> _Plan:
             eq.append((j, t, off))
             off += t.n_rows
     m_a = off
+    entries = []
+    e = 0
+    for t in spec.cnt_terms:
+        entries.append((e, t.viol_groups))
+        e += t.viol_groups
     return _Plan(spec, tuple(sq), tuple(gen), tuple(hin), tuple(ineq),
-                 tuple(ab), tuple(eq), m_sq, m_h, m_a)
+                 tuple(ab), tuple(eq), m_sq, m_h, m_a, tuple(entries), e)
 
 
 # --------------------------------------------------------------------------
@@ -190,16 +201,20 @@ def _convexify(plan: _Plan, data: ProblemData, x: jax.Array) -> _Cvx:
 
 
 def _merit_row_weights(plan: _Plan, cvx: _Cvx, merit: jax.Array):
-    """Effective slack weights: cost weights for cost rows, merit coeff for
-    constraint-penalty rows (cntsToCosts, optimizers.cpp:58-80)."""
+    """Effective slack weights: cost weights for cost rows, per-group merit
+    coeff for constraint-penalty rows (cntsToCosts, optimizers.cpp:58-80)."""
     w_h = cvx.w_h_cost
     for j, t, start in plan.ineq:
-        w_h = jax.lax.dynamic_update_slice(
-            w_h, jnp.full((t.n_rows,), 1.0, w_h.dtype) * merit[j], (start,))
+        e0, g = plan.entries[j]
+        w_rows = jnp.repeat(jax.lax.dynamic_slice(merit, (e0,), (g,)),
+                            t.n_rows // g).astype(w_h.dtype)
+        w_h = jax.lax.dynamic_update_slice(w_h, w_rows, (start,))
     w_a = cvx.w_a_cost
     for j, t, start in plan.eq:
-        w_a = jax.lax.dynamic_update_slice(
-            w_a, jnp.full((t.n_rows,), 1.0, w_a.dtype) * merit[j], (start,))
+        e0, g = plan.entries[j]
+        w_rows = jnp.repeat(jax.lax.dynamic_slice(merit, (e0,), (g,)),
+                            t.n_rows // g).astype(w_a.dtype)
+        w_a = jax.lax.dynamic_update_slice(w_a, w_rows, (start,))
     return w_h, w_a
 
 
@@ -237,10 +252,9 @@ def _model_values(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
                   dx: jax.Array):
     """Per-term convex-model costs and violations at step dx."""
     n_cost = len(plan.spec.cost_terms)
-    n_cnt = len(plan.spec.cnt_terms)
     dt = dx.dtype
     cost_vals = jnp.zeros((n_cost,), dt)
-    viols = jnp.zeros((n_cnt,), dt)
+    viols = jnp.zeros((plan.n_entries,), dt)
 
     r_sq = cvx.err_sq + cvx.J_sq @ dx
     r_h = cvx.err_h + cvx.J_h @ dx
@@ -262,25 +276,28 @@ def _model_values(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
         w = jax.lax.dynamic_slice(cvx.w_a_cost, (s,), (t.n_rows,))
         cost_vals = cost_vals.at[i].set(jnp.sum(w * jnp.abs(rows)))
     for j, t, s in plan.ineq:
+        e0, g = plan.entries[j]
         rows = jax.lax.dynamic_slice(r_h, (s,), (t.n_rows,))
-        viols = viols.at[j].set(jnp.sum(jnp.maximum(rows, 0.0)))
+        v = jnp.sum(jnp.maximum(rows, 0.0).reshape(g, -1), axis=1)
+        viols = jax.lax.dynamic_update_slice(viols, v, (e0,))
     for j, t, s in plan.eq:
+        e0, g = plan.entries[j]
         rows = jax.lax.dynamic_slice(r_a, (s,), (t.n_rows,))
-        viols = viols.at[j].set(jnp.sum(jnp.abs(rows)))
+        v = jnp.sum(jnp.abs(rows).reshape(g, -1), axis=1)
+        viols = jax.lax.dynamic_update_slice(viols, v, (e0,))
     return cost_vals, viols
 
 
 def _evaluate(spec: ProblemSpec, data: ProblemData, x: jax.Array):
-    """Exact per-term costs and violations at x."""
+    """Exact per-term costs and per-group violations at x."""
     dt = x.dtype
     n_cost = len(spec.cost_terms)
-    n_cnt = len(spec.cnt_terms)
     cost_vals = jnp.zeros((n_cost,), dt)
-    viols = jnp.zeros((n_cnt,), dt)
     for i, t in enumerate(spec.cost_terms):
         cost_vals = cost_vals.at[i].set(t.value(x, data.cost_params[i]))
-    for j, t in enumerate(spec.cnt_terms):
-        viols = viols.at[j].set(t.violation(x, data.cnt_params[j]))
+    vs = [t.violations(x, data.cnt_params[j]).astype(dt)
+          for j, t in enumerate(spec.cnt_terms)]
+    viols = (jnp.concatenate(vs) if vs else jnp.zeros((0,), dt))
     return cost_vals, viols
 
 
@@ -318,7 +335,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     plan = _plan(spec)
     p = params
     n_x = spec.n_x
-    n_cnt = len(spec.cnt_terms)
+    n_cnt = plan.n_entries
     # structured slack-QP dimensions (ops.struct_qp): full primal u and duals
     n_qp = n_x + plan.m_h + 2 * plan.m_a
     m_qp = plan.m_h + plan.m_a + n_x + plan.m_h + 2 * plan.m_a

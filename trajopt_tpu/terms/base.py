@@ -69,6 +69,13 @@ class Term:
     fn: Callable[[jax.Array, Any], jax.Array]
     weight_fn: Optional[Callable[[Any], jax.Array]] = None
     jac_fn: Optional[Callable[[jax.Array, Any], jax.Array]] = None
+    # constraint violation granularity: rows split into this many equal
+    # groups; violation = MAX over groups of the per-group sum.  This
+    # reproduces the reference's one-term-per-timestep/per-gap hatching
+    # (problem_description.cpp:1726) with a single batched term — per-step
+    # FK/collision stays fused instead of launching one tiny evaluation
+    # per step.
+    viol_groups: int = 1
 
     @property
     def is_cost(self) -> bool:
@@ -108,14 +115,22 @@ class Term:
         raise ValueError(f"value() on constraint term {self.name}")
 
     def violation(self, x: jax.Array, params: Any) -> jax.Array:
-        """Exact constraint violation (reference Constraint::violation:
+        """Total exact violation (reference Constraint::violation,
         trajopt_sco/src/modeling.cpp:150-169)."""
+        return jnp.sum(self.violations(x, params))
+
+    def violations(self, x: jax.Array, params: Any) -> jax.Array:
+        """Per-group violations, shape (viol_groups,).  Each group is one
+        reference-granularity constraint (its own merit coefficient and
+        convergence entry); groups are consecutive equal row blocks."""
         e = self.err(x, params)
         if self.kind == TermKind.EQ:
-            return jnp.sum(jnp.abs(e))
-        if self.kind == TermKind.INEQ:
-            return jnp.sum(jnp.maximum(e, 0.0))
-        raise ValueError(f"violation() on cost term {self.name}")
+            v = jnp.abs(e)
+        elif self.kind == TermKind.INEQ:
+            v = jnp.maximum(e, 0.0)
+        else:
+            raise ValueError(f"violation() on cost term {self.name}")
+        return jnp.sum(v.reshape(self.viol_groups, -1), axis=1)
 
 
 def squared_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
@@ -134,9 +149,9 @@ def generic_cost(name, fn) -> Term:
     return Term(name, TermKind.GENERIC, 1, fn)
 
 
-def eq_constraint(name, n_rows, fn, jac_fn=None) -> Term:
-    return Term(name, TermKind.EQ, n_rows, fn, None, jac_fn)
+def eq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1) -> Term:
+    return Term(name, TermKind.EQ, n_rows, fn, None, jac_fn, viol_groups)
 
 
-def ineq_constraint(name, n_rows, fn, jac_fn=None) -> Term:
-    return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn)
+def ineq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1) -> Term:
+    return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn, viol_groups)

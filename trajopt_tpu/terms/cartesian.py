@@ -195,7 +195,8 @@ def upright_term(
 
     n = 2 * span
     if is_constraint:
-        return eq_constraint(name, n, fn, jac_fn=jac_fn)
+        # per-step groups: the reference hatches one pose term per timestep
+        return eq_constraint(name, n, fn, jac_fn=jac_fn, viol_groups=span)
     return squared_cost(name, n, fn, jac_fn=jac_fn)
 
 
@@ -231,6 +232,6 @@ def cart_vel_term(
 
     n = 6 * n_gaps
     if is_constraint:
-        return ineq_constraint(name, n, fn)
+        return ineq_constraint(name, n, fn, viol_groups=n_gaps)
     from .base import hinge_cost
     return hinge_cost(name, n, fn)

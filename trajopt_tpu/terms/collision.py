@@ -83,7 +83,8 @@ def discrete_collision_term(
         return ineq_constraint(
             name, n, cfn,
             jac_fn=lambda x, p: jac_fn(
-                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)))
+                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)),
+            viol_groups=span)  # one reference constraint per timestep
     return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn)
 
 
@@ -151,7 +152,8 @@ def cast_collision_term(
         return ineq_constraint(
             name, n, cfn,
             jac_fn=lambda x, p: jac_fn(
-                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)))
+                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)),
+            viol_groups=n_gaps)  # one reference constraint per step gap
     return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn)
 
 
