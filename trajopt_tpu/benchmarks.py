@@ -68,20 +68,20 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
 
     b = TrajProblemBuilder(chain, T)
     b.add_cost(joint_vel_term("jvel", T, D),
-               {"targets": jnp.zeros(D, dtype), "coeffs": jnp.full(D, 5.0, dtype)})
+               {"targets": np.zeros(D, dtype), "coeffs": np.full(D, 5.0, dtype)})
     b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
-               {"margins": jnp.asarray(0.025, dtype),
-                "coeffs": jnp.asarray(20.0, dtype)})
+               {"margins": np.asarray(0.025, dtype),
+                "coeffs": np.asarray(20.0, dtype)})
     b.add_constraint(
         joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
                        is_constraint=True),
-        {"targets": jnp.asarray(Q_GOAL, dtype), "coeffs": jnp.ones(D, dtype)})
+        {"targets": np.asarray(Q_GOAL, dtype), "coeffs": np.ones(D, dtype)})
     # one batched upright term whose viol_groups give per-step convergence
     # granularity (the reference hatches one pose term per step) while the
     # FK evaluation stays a single fused vmap
     b.add_constraint(
         upright_term("upright", chain, T, "tool"),
-        {"coeffs": jnp.ones(2, dtype)})
+        {"coeffs": np.ones(2, dtype)})
     b.fix_timestep(0)
 
     rng = np.random.default_rng(seed)
@@ -91,19 +91,19 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
         # consistent with the upright constraint
         goal = Q_GOAL + rng.uniform(-0.15, 0.15, D) * np.array(
             [1.0, 0, 0, 0, 0, 0, 1.0])
-        init = interpolated_init(jnp.asarray(Q_START, dtype),
-                                 jnp.asarray(goal, dtype), T)
+        init = interpolated_init(np.asarray(Q_START, dtype),
+                                 np.asarray(goal, dtype), T)
         spec, data = b.build(init)
         data = data._replace(
             cnt_params=(
-                {"targets": jnp.asarray(goal, dtype),
-                 "coeffs": jnp.ones(D, dtype)},
-                {"coeffs": jnp.ones(2, dtype)},
+                {"targets": np.asarray(goal, dtype),
+                 "coeffs": np.ones(D, dtype)},
+                {"coeffs": np.ones(2, dtype)},
             ))
         datas.append(data)
     batch_data = stack_data(datas)
     batch_data = jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
         batch_data)
     return spec, batch_data, chain, world
 
@@ -118,19 +118,19 @@ def make_simple_collision(batch: int, dtype=jnp.float64, seed: int = 0):
     world = build_collision_world(model, chain)
     b = TrajProblemBuilder(chain, 1)
     b.add_cost(discrete_collision_term("coll_cost", world, 1),
-               {"margins": jnp.asarray(0.3, dtype),
-                "coeffs": jnp.asarray(1.0, dtype)})
+               {"margins": np.asarray(0.3, dtype),
+                "coeffs": np.asarray(1.0, dtype)})
     b.add_cost(joint_pos_term("jpos", 1, 2),
-               {"targets": jnp.zeros(2, dtype), "coeffs": jnp.ones(2, dtype)})
+               {"targets": np.zeros(2, dtype), "coeffs": np.ones(2, dtype)})
     b.add_constraint(discrete_collision_term("coll_cnt", world, 1,
                                              is_constraint=True),
-                     {"margins": jnp.asarray(0.2, dtype),
-                      "coeffs": jnp.asarray(1.0, dtype)})
+                     {"margins": np.asarray(0.2, dtype),
+                      "coeffs": np.asarray(1.0, dtype)})
     rng = np.random.default_rng(seed)
     datas = []
     for _ in range(batch):
         q0 = np.array([-0.75, 0.75]) + rng.uniform(-0.05, 0.05, 2)
-        spec, data = b.build(jnp.asarray(q0, dtype)[None, :])
+        spec, data = b.build(np.asarray(q0, dtype)[None, :])
         datas.append(data)
     return spec, stack_data(datas), chain, world
 
@@ -145,28 +145,28 @@ def make_planning(batch: int, n_steps: int = 6, dtype=jnp.float32,
     T, D = n_steps, chain.n_dof
     b = TrajProblemBuilder(chain, T)
     b.add_cost(joint_vel_term("jvel", T, D),
-               {"targets": jnp.zeros(D, dtype), "coeffs": jnp.ones(D, dtype)})
+               {"targets": np.zeros(D, dtype), "coeffs": np.ones(D, dtype)})
     b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
-               {"margins": jnp.asarray(0.025, dtype),
-                "coeffs": jnp.asarray(20.0, dtype)})
+               {"margins": np.asarray(0.025, dtype),
+                "coeffs": np.asarray(20.0, dtype)})
     b.add_constraint(
         joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
                        is_constraint=True),
-        {"targets": jnp.asarray(Q_GOAL, dtype), "coeffs": jnp.ones(D, dtype)})
+        {"targets": np.asarray(Q_GOAL, dtype), "coeffs": np.ones(D, dtype)})
     b.fix_timestep(0)
     rng = np.random.default_rng(seed)
     datas = []
     for _ in range(batch):
         goal = Q_GOAL + rng.uniform(-0.1, 0.1, D)
-        init = interpolated_init(jnp.asarray(Q_START, dtype),
-                                 jnp.asarray(goal, dtype), T)
+        init = interpolated_init(np.asarray(Q_START, dtype),
+                                 np.asarray(goal, dtype), T)
         spec, data = b.build(init)
         data = data._replace(cnt_params=(
-            {"targets": jnp.asarray(goal, dtype), "coeffs": jnp.ones(D, dtype)},))
+            {"targets": np.asarray(goal, dtype), "coeffs": np.ones(D, dtype)},))
         datas.append(data)
     batch_data = stack_data(datas)
     batch_data = jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
         batch_data)
     return spec, batch_data, chain, world
 

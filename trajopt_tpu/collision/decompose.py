@@ -110,3 +110,73 @@ def decompose(verts: np.ndarray, max_pieces: int = 1) -> list[UrdfGeom]:
     if max_pieces <= 1 or len(verts) < 2 * max_pieces:
         return [fit_auto(verts)]
     return [fit_auto(v) for v in kmeans_split(verts, max_pieces)]
+
+
+# ---------------------------------------------------------------------------
+# Convex hulls (support-mapping geometry) + mesh ingestion
+# ---------------------------------------------------------------------------
+
+
+def convex_hull_vertices(verts: np.ndarray, max_verts: int = 32) -> np.ndarray:
+    """Reduce a vertex cloud to <= max_verts extreme points.
+
+    Support-function geometry only needs hull *vertices*; exact hulls are
+    overkill.  Strategy: keep the support point of the cloud along each of a
+    spread of directions (Fibonacci sphere), dedup — every kept point is an
+    extreme point, and the induced support function underestimates the hull
+    by at most the direction-cover gap (conservative for avoidance when
+    paired with a collision margin).
+    """
+    n_dirs = max(max_verts * 4, 64)
+    i = np.arange(n_dirs)
+    phi = np.pi * (3.0 - np.sqrt(5.0))
+    y = 1.0 - 2.0 * (i + 0.5) / n_dirs
+    rr = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+    dirs = np.stack([np.cos(phi * i) * rr, y, np.sin(phi * i) * rr], axis=1)
+    idx = np.unique(np.argmax(verts @ dirs.T, axis=0))
+    if len(idx) > max_verts:
+        # keep the max_verts points farthest from the centroid (extremes)
+        c = verts[idx].mean(axis=0)
+        d = np.linalg.norm(verts[idx] - c, axis=1)
+        idx = idx[np.argsort(d)[::-1][:max_verts]]
+    return verts[idx]
+
+
+def fit_hull(verts: np.ndarray, max_verts: int = 32,
+             sweep_radius: float = 0.0) -> UrdfGeom:
+    """Convex-hull geometry (the faithful V-HACD piece representation)."""
+    hv = convex_hull_vertices(np.asarray(verts, np.float64), max_verts)
+    return UrdfGeom("convex", np.array([sweep_radius]), np.zeros(3),
+                    np.zeros(3), verts=hv)
+
+
+def load_mesh_vertices(path: str) -> np.ndarray:
+    """Minimal STL (binary/ascii) + OBJ vertex loader (host-side, offline).
+
+    The reference loads meshes through tesseract/assimp; planning only needs
+    the vertex cloud (fed to fit_* / fit_hull), not faces.
+    """
+    if path.lower().endswith(".obj"):
+        vs = []
+        with open(path, "r", errors="ignore") as f:
+            for line in f:
+                if line.startswith("v "):
+                    vs.append([float(t) for t in line.split()[1:4]])
+        return np.asarray(vs, np.float64)
+    with open(path, "rb") as f:
+        head = f.read(80)
+        if head[:5] == b"solid":
+            f.seek(0)
+            txt = f.read().decode(errors="ignore")
+            vs = []
+            for line in txt.splitlines():
+                t = line.split()
+                if len(t) >= 4 and t[0] == "vertex":
+                    vs.append([float(x) for x in t[1:4]])
+            if vs:
+                return np.asarray(vs, np.float64)
+            f.seek(80)
+        n = int.from_bytes(f.read(4), "little")
+        data = np.frombuffer(f.read(n * 50), dtype=np.uint8)
+        tri = data.reshape(n, 50)[:, :48].copy().view(np.float32).reshape(n, 12)
+        return tri[:, 3:12].reshape(-1, 3).astype(np.float64)

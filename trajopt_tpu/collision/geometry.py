@@ -21,6 +21,7 @@ Conventions: boxes are (center, rotation, half-extents); capsules are
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
@@ -104,6 +105,82 @@ def d_capsule_box(a, b, r, bc, bR, bh, iters: int = 12):
     outside = jnp.linalg.norm(jnp.maximum(q, 0.0))
     inside = jnp.minimum(jnp.max(q), 0.0)
     return outside + inside - r
+
+
+def box_vertices(c, R, h):
+    """(8,3) world-space corners of an oriented box."""
+    import itertools
+    signs = jnp.asarray(list(itertools.product((-1.0, 1.0), repeat=3)))
+    return c[None, :] + (signs * h[None, :]) @ R.T
+
+
+# fixed direction set for penetration depth: the 26 box-lattice directions
+# (faces + edges + corners), normalized — a bounded-error cover of S^2
+def _make_dirs():
+    import itertools
+    ds = [d for d in itertools.product((-1.0, 0.0, 1.0), repeat=3)
+          if any(d)]
+    import numpy as _np
+    ds = _np.asarray(ds)
+    return ds / _np.linalg.norm(ds, axis=1, keepdims=True)
+
+
+_PEN_DIRS = _make_dirs()
+
+
+def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
+    """Signed distance between convex hulls conv(V1)⊕r1 and conv(V2)⊕r2.
+
+    The TPU-native support-mapping path for convex meshes (SURVEY.md §1:
+    "support mapping GJK-style for convex meshes"; tesseract's
+    Bullet/FCL GJK consumed at trajopt/src/collision_terms.cpp:203-323).
+    Design: instead of GJK's divergent simplex cases, run fixed-iteration
+    Frank–Wolfe on ½‖a−b‖² over the two hulls (every step = two support
+    queries = two argmax matmuls — MXU-friendly, vmappable, static shapes).
+    Witness convex weights are ``stop_gradient``-ed so autodiff applies the
+    envelope theorem: d(dist)/d(verts) is exact at the optimum, matching the
+    reference's contact-normal gradients.
+
+    Penetration: FW drives the gap to 0; the signed depth is recovered as
+    −min_u h_{A⊖B}(u) over the fixed 26-direction cover (a conservative,
+    differentiable overestimate of depth — the hinge terms push outward).
+
+    ``V*`` may be padded with repeated vertices (padding never wins an
+    argmax tie in a harmful way: support values are identical).
+    """
+    n1 = V1.shape[0]
+    n2 = V2.shape[0]
+    l1 = jnp.zeros((n1,), V1.dtype).at[0].set(1.0)
+    l2 = jnp.zeros((n2,), V2.dtype).at[0].set(1.0)
+
+    def body(carry, _):
+        l1, l2 = carry
+        p = l1 @ V1 - l2 @ V2
+        i1 = jnp.argmax(V1 @ (-p))
+        i2 = jnp.argmax(V2 @ p)
+        s = V1[i1] - V2[i2]
+        dvec = s - p
+        gamma = jnp.clip(-(p @ dvec) / jnp.maximum(dvec @ dvec, _EPS),
+                         0.0, 1.0)
+        e1 = jnp.zeros_like(l1).at[i1].set(1.0)
+        e2 = jnp.zeros_like(l2).at[i2].set(1.0)
+        return ((1 - gamma) * l1 + gamma * e1,
+                (1 - gamma) * l2 + gamma * e2), None
+
+    (l1, l2), _ = jax.lax.scan(body, (l1, l2), None, length=iters)
+    l1 = jax.lax.stop_gradient(l1)
+    l2 = jax.lax.stop_gradient(l2)
+    p1 = l1 @ V1
+    p2 = l2 @ V2
+    gap = jnp.linalg.norm(p1 - p2)
+
+    U = jnp.asarray(_PEN_DIRS, V1.dtype)  # (26,3)
+    # support of the Minkowski difference A − B per direction
+    h = jnp.max(V1 @ U.T, axis=0) + jnp.max(-(V2 @ U.T), axis=0)
+    depth = jnp.min(h)  # > 0 iff (approximately) penetrating
+
+    sep = gap > 1e-6
+    return jnp.where(sep, gap, -depth) - (r1 + r2)
 
 
 def d_swept_box_box(c1a, c1b, R1, h1, c2, R2, h2):

@@ -35,7 +35,7 @@ from ..kinematics.urdf import RobotModel
 from ..ops.lie import rpy_to_matrix
 from . import geometry as G
 
-SPHERE, CAPSULE, BOX = 0, 1, 2
+SPHERE, CAPSULE, BOX, CONVEX = 0, 1, 2, 3
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -47,10 +47,13 @@ class GeomSpec:
     radius: float
     half: np.ndarray  # (3,) box half extents; capsule: half[2] = half-length
     name: str = ""
+    # CONVEX: local-frame vertices (V,3); padded to the per-world max V by
+    # repeating vertex 0 (padding is support-function-neutral)
+    verts: Optional[np.ndarray] = None
 
 
 # vmapped pair kernels over canonical world-space forms:
-#   sphere: (c, r); capsule: (a, b, r); box: (c, R, h)
+#   sphere: (c, r); capsule: (a, b, r); box: (c, R, h); convex: (Vw, r)
 _KERNELS = {
     (SPHERE, SPHERE): jax.vmap(lambda A, B: G.d_sphere_sphere(A[0], A[1], B[0], B[1])),
     (SPHERE, CAPSULE): jax.vmap(lambda A, B: G.d_sphere_capsule(A[0], A[1], B[0], B[1], B[2])),
@@ -58,6 +61,16 @@ _KERNELS = {
     (CAPSULE, CAPSULE): jax.vmap(lambda A, B: G.d_capsule_capsule(A[0], A[1], A[2], B[0], B[1], B[2])),
     (CAPSULE, BOX): jax.vmap(lambda A, B: G.d_capsule_box(A[0], A[1], A[2], B[0], B[1], B[2])),
     (BOX, BOX): jax.vmap(lambda A, B: G.d_box_box(A[0], A[1], A[2], B[0], B[1], B[2])),
+    # support-mapping path: the sphere/capsule/box operand becomes a
+    # (possibly radius-inflated) vertex set
+    (SPHERE, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+        A[0][None, :], A[1], B[0], B[1])),
+    (CAPSULE, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+        jnp.stack([A[0], A[1]]), A[2], B[0], B[1])),
+    (BOX, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+        G.box_vertices(A[0], A[1], A[2]), 0.0, B[0], B[1])),
+    (CONVEX, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+        A[0], A[1], B[0], B[1])),
 }
 
 
@@ -101,10 +114,17 @@ class CollisionWorld:
                 axis = Rw[:, :, 2] * hl[:, None]
                 r = jnp.asarray([self.geoms[i].radius for i in idx], dt)
                 out[kind] = (c - axis, c + axis, r)
-            else:  # BOX
+            elif kind == BOX:
                 Rw = jnp.einsum("kij,kjl->kil", Rl, offR)
                 h = jnp.asarray(np.stack([self.geoms[i].half for i in idx]), dt)
                 out[kind] = (c, Rw, h)
+            else:  # CONVEX: world vertices (k, V, 3) + sweep radius
+                Rw = jnp.einsum("kij,kjl->kil", Rl, offR)
+                Vl = jnp.asarray(
+                    np.stack([self.geoms[i].verts for i in idx]), dt)
+                Vw = jnp.einsum("kij,kvj->kvi", Rw, Vl) + c[:, None, :]
+                r = jnp.asarray([self.geoms[i].radius for i in idx], dt)
+                out[kind] = (Vw, r)
         return out
 
     @staticmethod
@@ -188,6 +208,9 @@ class CollisionWorld:
             elif okind == CAPSULE:
                 d = jax.vmap(lambda A, B: G.d_capsule_capsule(
                     A[0], A[1], A[2], B[0], B[1], B[2]))(cap, other)
+            elif okind == CONVEX:
+                d = jax.vmap(lambda A, B: G.d_convex_convex(
+                    jnp.stack([A[0], A[1]]), A[2], B[0], B[1]))(cap, other)
             else:
                 d = jax.vmap(lambda A, B: G.d_capsule_box(
                     A[0], A[1], A[2], B[0], B[1], B[2]))(cap, other)
@@ -204,6 +227,29 @@ class CollisionWorld:
         return out
 
 
+def _spec_from_urdf_geom(li: int, g, name: str) -> Optional[GeomSpec]:
+    offR = np.asarray(rpy_to_matrix(jnp.asarray(g.rpy)))
+    if g.kind == "sphere":
+        return GeomSpec(li, SPHERE, offR, g.xyz, float(g.size[0]),
+                        np.zeros(3), name)
+    if g.kind in ("capsule", "cylinder"):
+        r, ln = float(g.size[0]), float(g.size[1])
+        return GeomSpec(li, CAPSULE, offR, g.xyz, r,
+                        np.array([0.0, 0.0, ln / 2]), name)
+    if g.kind == "box":
+        return GeomSpec(li, BOX, offR, g.xyz, 0.0,
+                        np.asarray(g.size) / 2.0, name)
+    if g.kind in ("convex", "mesh") and getattr(g, "verts", None) is not None:
+        # convex hull vertex set (support-mapping path); ``size[0]`` acts as
+        # an optional sweep radius for sphere-swept hulls
+        r = float(g.size[0]) if np.ndim(g.size) and len(np.atleast_1d(g.size)) else 0.0
+        return GeomSpec(li, CONVEX, offR, g.xyz, r, np.zeros(3), name,
+                        verts=np.asarray(g.verts, np.float64))
+    # raw meshes without vertices require offline convex decomposition
+    # (collision/decompose.py, CLI `decompose`) — skipped here
+    return None
+
+
 def _geom_specs(model: RobotModel, chain: Chain) -> list[GeomSpec]:
     specs = []
     for lname, geoms in model.geoms.items():
@@ -211,29 +257,43 @@ def _geom_specs(model: RobotModel, chain: Chain) -> list[GeomSpec]:
             continue
         li = chain.link_index(lname)
         for gi, g in enumerate(geoms):
-            offR = np.asarray(rpy_to_matrix(jnp.asarray(g.rpy)))
-            name = f"{lname}/{gi}"
-            if g.kind == "sphere":
-                specs.append(GeomSpec(li, SPHERE, offR, g.xyz, float(g.size[0]),
-                                      np.zeros(3), name))
-            elif g.kind in ("capsule", "cylinder"):
-                r, ln = float(g.size[0]), float(g.size[1])
-                specs.append(GeomSpec(li, CAPSULE, offR, g.xyz, r,
-                                      np.array([0.0, 0.0, ln / 2]), name))
-            elif g.kind == "box":
-                specs.append(GeomSpec(li, BOX, offR, g.xyz, 0.0,
-                                      np.asarray(g.size) / 2.0, name))
-            # meshes require offline convex decomposition — skipped here
+            s = _spec_from_urdf_geom(li, g, f"{lname}/{gi}")
+            if s is not None:
+                specs.append(s)
     return specs
 
 
 def build_collision_world(model: RobotModel, chain: Chain,
-                          extra_disabled: Optional[set] = None
+                          extra_disabled: Optional[set] = None,
+                          attachments: Optional[list] = None
                           ) -> CollisionWorld:
     """Candidate pairs: different links, not parent-child adjacent, not
     SRDF-disabled, at least one side movable.  Pairs are ordered grouped by
-    type combination for vectorized evaluation."""
+    type combination for vectorized evaluation.
+
+    ``attachments``: list of (link_name, UrdfGeom) — runtime-attached
+    objects (the reference's attached-object scenes,
+    trajopt/test/cast_cost_attached_unit.cpp): grasped payloads, tool
+    geometry.  Attached geoms collide like any link geometry of that link.
+    """
     specs = _geom_specs(model, chain)
+    for ai, (lname, g) in enumerate(attachments or []):
+        s = _spec_from_urdf_geom(chain.link_index(lname), g,
+                                 f"{lname}/attached{ai}")
+        if s is not None:
+            specs.append(s)
+    # pad convex vertex sets to one static V (repeat vertex 0)
+    vmax = max((s.verts.shape[0] for s in specs if s.verts is not None),
+               default=0)
+    if vmax:
+        specs = [
+            dataclasses.replace(
+                s, verts=np.concatenate(
+                    [s.verts,
+                     np.repeat(s.verts[:1], vmax - s.verts.shape[0], axis=0)])
+            ) if s.verts is not None and s.verts.shape[0] < vmax else s
+            for s in specs
+        ]
     disabled = set(model.disabled_pairs) | (extra_disabled or set())
     moving = chain.ancestor.any(axis=1)
     parent = chain.parent
@@ -258,7 +318,7 @@ def build_collision_world(model: RobotModel, chain: Chain,
             else:
                 raw_pairs.append((j, i))
 
-    kind_idx = {k: [] for k in (SPHERE, CAPSULE, BOX)}
+    kind_idx = {k: [] for k in (SPHERE, CAPSULE, BOX, CONVEX)}
     for gi, g in enumerate(specs):
         kind_idx[g.kind].append(gi)
     kind_idx = {k: np.asarray(v, dtype=np.int64) for k, v in kind_idx.items()}

@@ -30,11 +30,12 @@ import numpy as np
 class UrdfGeom:
     """One collision geometry attached to a link (local frame offset)."""
 
-    kind: str  # "sphere" | "box" | "cylinder" | "capsule" | "mesh"
-    size: np.ndarray  # sphere: [r]; box: [x,y,z] full extents; cyl/capsule: [r, length]
+    kind: str  # "sphere" | "box" | "cylinder" | "capsule" | "mesh" | "convex"
+    size: np.ndarray  # sphere: [r]; box: [x,y,z] full extents; cyl/capsule: [r, length]; convex: [sweep_r]
     xyz: np.ndarray  # (3,) offset in link frame
     rpy: np.ndarray  # (3,)
     mesh_file: Optional[str] = None
+    verts: Optional[np.ndarray] = None  # convex/mesh: (V,3) hull vertices
 
 
 @dataclasses.dataclass

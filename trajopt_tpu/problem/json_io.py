@@ -252,7 +252,8 @@ def load_problem(doc: dict | str, chain: Chain,
             first = int(params.get("first_step", 0))
             last = int(params.get("last_step", T - 1))
             coeffs = float(np.atleast_1d(params.get("coeffs", 20.0))[0])
-            margin = float(params.get("dist_pen", 0.025))
+            # reference configs write dist_pen as a one-element list
+            margin = float(np.atleast_1d(params.get("dist_pen", 0.025))[0])
             # "fixed_steps" marks steps whose variables are pinned
             # (collision contacts on those ends are filtered in the
             # reference, collision_terms.cpp:558-600).  Here fixed steps are
@@ -279,6 +280,9 @@ def load_problem(doc: dict | str, chain: Chain,
         b.add_constraint(term, p)
 
     init = doc.get("init_info", {"type": "stationary"})
+    # strict unknown-field rejection (ensure_only_members,
+    # problem_description.cpp:32-51) — typos must not silently no-op
+    _only(init, {"type", "data", "endpoint", "dt"}, "init_info")
     itype = init.get("type", "stationary")
     init_dt = float(init.get("dt", 0.1))
     if itype == "given_traj":

@@ -31,13 +31,15 @@ from ..solver.types import ProblemData, ProblemSpec
 from ..terms.base import Term
 
 
-def stationary_init(q0: jax.Array, n_steps: int) -> jax.Array:
-    return jnp.tile(jnp.asarray(q0)[None, :], (n_steps, 1))
+def stationary_init(q0, n_steps: int) -> np.ndarray:
+    """Host-side (numpy): construction must not dispatch device ops — under
+    a tunneled TPU every tiny op is a network round-trip."""
+    return np.tile(np.asarray(q0)[None, :], (n_steps, 1))
 
 
-def interpolated_init(q0: jax.Array, q1: jax.Array, n_steps: int) -> jax.Array:
-    a = jnp.linspace(0.0, 1.0, n_steps)[:, None]
-    return (1 - a) * jnp.asarray(q0)[None, :] + a * jnp.asarray(q1)[None, :]
+def interpolated_init(q0, q1, n_steps: int) -> np.ndarray:
+    a = np.linspace(0.0, 1.0, n_steps)[:, None]
+    return (1 - a) * np.asarray(q0)[None, :] + a * np.asarray(q1)[None, :]
 
 
 @dataclasses.dataclass
@@ -98,25 +100,30 @@ class TrajProblemBuilder:
         With ``use_time`` the init traj may already carry the inv_dt column
         (n_dof+1 columns) or it is appended as 1/init_dt.
         """
+        # all-numpy: problem construction is host-side setup and must not
+        # dispatch device ops (under a tunneled TPU each op is a round-trip;
+        # a 128-instance batch built with jnp ops costs minutes of latency)
         T, D = self.n_steps, self.n_cols
-        init = jnp.asarray(init_traj)
+        init = np.asarray(init_traj)
+        dt = init.dtype if init.dtype in (np.float32, np.float64) else np.float64
+        init = init.astype(dt)
         if self.use_time and init.shape[-1] == self.n_dof:
-            col = jnp.full((T, 1), 1.0 / init_dt, init.dtype)
-            init = jnp.concatenate([init.reshape(T, self.n_dof), col], axis=1)
+            col = np.full((T, 1), 1.0 / init_dt, dt)
+            init = np.concatenate([init.reshape(T, self.n_dof), col], axis=1)
         init = init.reshape(T, D)
-        lb = jnp.tile(jnp.asarray(self.chain.lb)[None, :], (T, 1))
-        ub = jnp.tile(jnp.asarray(self.chain.ub)[None, :], (T, 1))
+        lb = np.tile(np.asarray(self.chain.lb, dt)[None, :], (T, 1))
+        ub = np.tile(np.asarray(self.chain.ub, dt)[None, :], (T, 1))
         if self.use_time:
-            lb = jnp.concatenate(
-                [lb, jnp.full((T, 1), 1.0 / self.dt_upper, lb.dtype)], axis=1)
-            ub = jnp.concatenate(
-                [ub, jnp.full((T, 1), 1.0 / self.dt_lower, ub.dtype)], axis=1)
+            lb = np.concatenate(
+                [lb, np.full((T, 1), 1.0 / self.dt_upper, dt)], axis=1)
+            ub = np.concatenate(
+                [ub, np.full((T, 1), 1.0 / self.dt_lower, dt)], axis=1)
         for s in self._fixed_steps:
-            lb = lb.at[s].set(init[s])
-            ub = ub.at[s].set(init[s])
+            lb[s] = init[s]
+            ub[s] = init[s]
         for d in self._fixed_dofs:
-            lb = lb.at[:, d].set(init[:, d])
-            ub = ub.at[:, d].set(init[:, d])
+            lb[:, d] = init[:, d]
+            ub[:, d] = init[:, d]
         spec = ProblemSpec(
             n_x=T * D,
             cost_terms=tuple(self._cost_terms),
@@ -133,5 +140,10 @@ class TrajProblemBuilder:
 
 
 def stack_data(datas: Sequence[ProblemData]) -> ProblemData:
-    """Stack per-instance ProblemData pytrees into a batch (leading axis)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    """Stack per-instance ProblemData pytrees into a batch (leading axis).
+
+    Stacks on host (numpy) — device transfer happens once at the jit
+    boundary, not per-leaf-per-instance.
+    """
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *datas)
