@@ -27,8 +27,21 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
+def _safe_norm(v):
+    """norm with a well-defined (zero) gradient at v = 0.
+
+    Exact coincidence happens in practice (straight-line inits through an
+    obstacle center); plain ``jnp.linalg.norm`` back-propagates NaN there,
+    which poisons the whole QP.  The double-``where`` keeps the value exact
+    and the gradient zero (a valid subgradient) at v = 0.
+    """
+    d2 = jnp.sum(v * v)
+    pos = d2 > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+
+
 def d_sphere_sphere(c1, r1, c2, r2):
-    return jnp.linalg.norm(c1 - c2) - (r1 + r2)
+    return _safe_norm(c1 - c2) - (r1 + r2)
 
 
 def _closest_on_segment(a, b, p):
@@ -40,7 +53,7 @@ def _closest_on_segment(a, b, p):
 
 def d_sphere_capsule(c, r, a, b, rc):
     p = _closest_on_segment(a, b, c)
-    return jnp.linalg.norm(c - p) - (r + rc)
+    return _safe_norm(c - p) - (r + rc)
 
 
 def _seg_seg_closest(a1, b1, a2, b2):
@@ -65,14 +78,14 @@ def _seg_seg_closest(a1, b1, a2, b2):
 
 def d_capsule_capsule(a1, b1, r1, a2, b2, r2):
     p1, p2 = _seg_seg_closest(a1, b1, a2, b2)
-    return jnp.linalg.norm(p1 - p2) - (r1 + r2)
+    return _safe_norm(p1 - p2) - (r1 + r2)
 
 
 def sdf_box_point(p, bc, bR, bh):
     """Exact signed distance of a point to an oriented box."""
     local = bR.T @ (p - bc)
     q = jnp.abs(local) - bh
-    outside = jnp.linalg.norm(jnp.maximum(q, 0.0))
+    outside = _safe_norm(jnp.maximum(q, 0.0))
     inside = jnp.minimum(jnp.max(q), 0.0)
     return outside + inside
 
@@ -102,7 +115,7 @@ def d_capsule_box(a, b, r, bc, bR, bh, iters: int = 12):
                      jnp.maximum(jnp.dot(d, d), _EPS), 0.0, 1.0)
     p_seg = local_a + s * (local_b - local_a)
     q = jnp.abs(p_seg) - bh
-    outside = jnp.linalg.norm(jnp.maximum(q, 0.0))
+    outside = _safe_norm(jnp.maximum(q, 0.0))
     inside = jnp.minimum(jnp.max(q), 0.0)
     return outside + inside - r
 
@@ -172,7 +185,7 @@ def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
     l2 = jax.lax.stop_gradient(l2)
     p1 = l1 @ V1
     p2 = l2 @ V2
-    gap = jnp.linalg.norm(p1 - p2)
+    gap = _safe_norm(p1 - p2)
 
     U = jnp.asarray(_PEN_DIRS, V1.dtype)  # (26,3)
     # support of the Minkowski difference A − B per direction
