@@ -33,11 +33,12 @@ def main():
     from trajopt_tpu.benchmarks import bench_params, make_glass_upright
     from trajopt_tpu.solver.sqp import _solve
     from trajopt_tpu.solver.types import CONVERGED
+    from trajopt_tpu.terms.collision import trajectory_in_collision
 
     batch = 128
     n_steps = 30
-    spec, data, _, _ = make_glass_upright(batch=batch, n_steps=n_steps,
-                                          dtype=jnp.float32)
+    spec, data, _, world = make_glass_upright(batch=batch, n_steps=n_steps,
+                                              dtype=jnp.float32)
     params = bench_params()
 
     @jax.jit
@@ -57,7 +58,15 @@ def main():
 
     status = np.asarray(res.status)
     viols = np.asarray(res.cnt_viols)
-    ok = (status == CONVERGED) & (viols.max(axis=1) < 1e-3)
+
+    # independent swept-collision verification of every counted lane (the
+    # reference's planning tests re-check the final trajectory with a
+    # separate continuous collision query, planning_unit.cpp:98-148): a
+    # throughput number over in-collision "solutions" is meaningless
+    X = res.x.reshape(batch, n_steps, -1)
+    min_dist = np.asarray(jax.jit(jax.vmap(
+        lambda x: trajectory_in_collision(world, x)))(X))
+    ok = (status == CONVERGED) & (viols.max(axis=1) < 1e-3) & (min_dist >= 0.0)
     n_ok = int(ok.sum())
     solves_per_sec = n_ok / dt
 
@@ -71,6 +80,7 @@ def main():
         "converged": n_ok,
         "wall_s": round(dt, 3),
         "mean_qp_solves": float(np.asarray(res.n_qp_solves).mean()),
+        "min_swept_dist": round(float(min_dist.min()), 4),
     }))
 
 

@@ -72,6 +72,17 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
     b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
                {"margins": np.asarray(0.025, dtype),
                 "coeffs": np.asarray(20.0, dtype)})
+    # collision also enters as a CONSTRAINT at a tighter margin: a lane that
+    # settles into a penetrating local minimum of the hinge cost must report
+    # PENALTY_ITERATION_LIMIT, not CONVERGED (the reference's planning tests
+    # re-verify with an independent continuous check,
+    # trajopt/test/planning_unit.cpp:98-148 — here the solver itself must
+    # agree with that check before claiming success)
+    b.add_constraint(
+        cast_collision_term("coll_cnt", world, T, n_sub=n_sub,
+                            is_constraint=True),
+        {"margins": np.asarray(0.005, dtype),
+         "coeffs": np.asarray(1.0, dtype)})
     b.add_constraint(
         joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
                        is_constraint=True),
@@ -85,17 +96,31 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
     b.fix_timestep(0)
 
     rng = np.random.default_rng(seed)
+    yaw_mask = np.array([1.0, 0, 0, 0, 0, 0, 1.0])  # joints 0/6 spin about z
     datas = []
     for i in range(batch):
-        # perturb only the yaw joints (about world/tool z) so the goal stays
-        # consistent with the upright constraint
-        goal = Q_GOAL + rng.uniform(-0.15, 0.15, D) * np.array(
-            [1.0, 0, 0, 0, 0, 0, 1.0])
-        init = interpolated_init(np.asarray(Q_START, dtype),
-                                 np.asarray(goal, dtype), T)
-        spec, data = b.build(init)
+        # start/goal perturbed on the yaw joints only (keeps the FIXED start
+        # and the EQ-pinned last step consistent with the upright
+        # constraint); the problem stays feasible while every lane differs
+        start = Q_START + rng.uniform(-0.15, 0.15, D) * yaw_mask
+        goal = Q_GOAL + rng.uniform(-0.15, 0.15, D) * yaw_mask
+        init = np.asarray(interpolated_init(np.asarray(start, dtype),
+                                            np.asarray(goal, dtype), T))
+        # make every constraint ACTIVE at the initial trajectory (reference
+        # planning problems start infeasible; a solvable-by-zero-step batch
+        # would game the bench): a mid-trajectory bump on the wrist/elbow
+        # joints breaks uprightness and deepens the table sweep, and the
+        # free last step starts offset from the goal target
+        bump = rng.uniform(-0.25, 0.25, D) * np.array([0, 1, 1, 1, 1, 1, 0])
+        phase = np.sin(np.pi * np.arange(T) / (T - 1))[:, None]
+        init = init + (phase * bump[None, :]).astype(init.dtype)
+        init[0] = start  # step 0 is pinned by fix_timestep(0)
+        init[T - 1] = goal + rng.uniform(-0.05, 0.05, D)
+        spec, data = b.build(jnp.asarray(init))
         data = data._replace(
             cnt_params=(
+                {"margins": np.asarray(0.005, dtype),
+                 "coeffs": np.asarray(1.0, dtype)},
                 {"targets": np.asarray(goal, dtype),
                  "coeffs": np.ones(D, dtype)},
                 {"coeffs": np.ones(2, dtype)},

@@ -28,9 +28,22 @@ complement z2 = w_h - z1), the abs dual y in (-w_a, w_a) (z3 = w_a - y,
 z4 = w_a + y) — the IPM keeps every pair strictly interior and drives the
 barrier parameter mu -> 0 with Mehrotra's adaptive sigma = (mu_aff/mu)^3.
 
-Equal bounds (fixed timesteps/dofs, lb == ub) have no interior; those
-coordinates are pinned by a final clip (exact, since the trust box is a
-box).
+Robustness contract (what the trust-region SQP relies on):
+
+* The returned step NEVER increases the composite objective: the solver
+  tracks the best iterate by exact composite-objective value (evaluated on
+  the box-clipped candidate) with dx = 0 as the starting incumbent, so
+  ``f(dx) <= f(0)`` and the SQP-level model improvement ``approx >= 0``
+  always holds — exactly the property an exact QP solver would give the
+  reference (dx = 0 is feasible, trajopt_sco/src/optimizers.cpp:806-837).
+* Every iterate update is NaN-guarded: a non-finite Newton step (Cholesky
+  breakdown at extreme barrier parameters) terminates the loop with the
+  incumbent, never propagates.
+* Pinned coordinates (lb == ub: fixed timesteps/dofs enter as equal bounds,
+  problem_description.cpp:484-506) are eliminated EXACTLY by masking, not
+  by a synthetic epsilon interior: the pinned value is substituted into
+  q/e_h/e_a, the corresponding columns are zeroed, and the coordinate is
+  replaced by a dummy variable with unit curvature on a unit box.
 """
 
 from __future__ import annotations
@@ -70,33 +83,53 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     ma = data.e_a.shape[0]
     m = mh + ma + n + mh + 2 * ma  # ADMM-layout dual vector length
     dt = data.q.dtype
+    tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-25, dt)
+
+    # ---- exact elimination of pinned coordinates (lb == ub) ----
+    width0 = data.ub - data.lb
+    free = (width0 >= 1e-9).astype(dt)  # (n,) 1 = optimized, 0 = pinned
+    pin_val = jnp.where(free > 0, 0.0, 0.5 * (data.lb + data.ub))
+    # substitute dx_pinned = pin_val into the objective/rows, then replace
+    # the pinned coordinate by a dummy on [-1, 1] with unit curvature
+    q0 = free * (data.q + data.P @ pin_val)
+    P0 = free[:, None] * data.P * free[None, :] + jnp.diag(1.0 - free)
+    eh0 = data.e_h + data.A_h @ pin_val if mh else data.e_h
+    ea0 = data.e_a + data.A_a @ pin_val if ma else data.e_a
+    Ah0 = data.A_h * free[None, :]
+    Aa0 = data.A_a * free[None, :]
+    lb = jnp.where(free > 0, data.lb, -1.0)
+    ub = jnp.where(free > 0, data.ub, 1.0)
 
     # ---- row normalization + cost scaling (as the ADMM path) ----
-    rh = jnp.maximum(jnp.max(jnp.abs(data.A_h), axis=1), 1e-8) if mh else jnp.ones((0,), dt)
-    ra = jnp.maximum(jnp.max(jnp.abs(data.A_a), axis=1), 1e-8) if ma else jnp.ones((0,), dt)
-    Jh = data.A_h / rh[:, None] if mh else data.A_h
-    Ja = data.A_a / ra[:, None] if ma else data.A_a
-    eh = data.e_h / rh
-    ea = data.e_a / ra
-    cnorm = jnp.maximum(jnp.maximum(jnp.mean(jnp.abs(data.P)),
-                                    jnp.max(jnp.abs(data.q))), 1.0)
+    rh = jnp.maximum(jnp.max(jnp.abs(Ah0), axis=1), 1e-8) if mh else jnp.ones((0,), dt)
+    ra = jnp.maximum(jnp.max(jnp.abs(Aa0), axis=1), 1e-8) if ma else jnp.ones((0,), dt)
+    Jh = Ah0 / rh[:, None] if mh else Ah0
+    Ja = Aa0 / ra[:, None] if ma else Aa0
+    eh = eh0 / rh
+    ea = ea0 / ra
+    cnorm = jnp.maximum(jnp.maximum(jnp.mean(jnp.abs(P0)),
+                                    jnp.max(jnp.abs(q0))), 1.0)
     c = 1.0 / cnorm
-    P = data.P * c
-    q = data.q * c
+    P = P0 * c
+    q = q0 * c
     wh = jnp.maximum(data.w_h * rh * c, _WMIN)
     wa = jnp.maximum(data.w_a * ra * c, _WMIN)
 
-    lb, ub = data.lb, data.ub
-    width = ub - lb
-    # zero-width (pinned) coordinates get a tiny synthetic interior; final
-    # dx is clipped back onto [lb, ub] exactly.
-    pin = width < 1e-12
-    lb_i = jnp.where(pin, lb - 1e-8, lb)
-    ub_i = jnp.where(pin, ub + 1e-8, ub)
+    def composite_unscaled(dx):
+        """Exact composite objective of the ORIGINAL problem at clip(dx)."""
+        d = jnp.clip(dx, data.lb, data.ub)
+        f = 0.5 * d @ (data.P @ d) + data.q @ d
+        if mh:
+            f = f + jnp.sum(data.w_h * jnp.maximum(data.e_h + data.A_h @ d, 0.0))
+        if ma:
+            f = f + jnp.sum(data.w_a * jnp.abs(data.e_a + data.A_a @ d))
+        return f
+
+    f_zero = composite_unscaled(jnp.zeros((n,), dt))
 
     # ---- initial interior point ----
-    dx = jnp.clip(jnp.zeros((n,), dt), lb_i + 0.01 * (ub_i - lb_i),
-                  ub_i - 0.01 * (ub_i - lb_i))
+    dx = jnp.clip(jnp.zeros((n,), dt), lb + 0.01 * (ub - lb),
+                  ub - 0.01 * (ub - lb))
     g = Jh @ dx + eh if mh else jnp.zeros((0,), dt)
     h = jnp.maximum(g, 0.0) + 1.0
     s1 = h - g  # >= 1
@@ -116,7 +149,7 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         z4 = wa + y
         tot = (z1 @ s1 + z2 @ h if mh else 0.0)
         tot = tot + (z3 @ p + z4 @ nn if ma else 0.0)
-        tot = tot + z5 @ (dx - lb_i) + z6 @ (ub_i - dx)
+        tot = tot + z5 @ (dx - lb) + z6 @ (ub - dx)
         return tot / n_pairs
 
     def residuals(dx, h, p, nn, z1, y, z5, z6):
@@ -138,15 +171,19 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         status: jax.Array
         rp: jax.Array
         rd: jax.Array
+        f_best: jax.Array
+        dx_best: jax.Array
 
-    def kkt_diags(st, ):
+    def kkt_diags(st):
         z2 = wh - st.z1
         z3 = wa - st.y
         z4 = wa + st.y
         s1 = st.h - (Jh @ st.dx + eh) if mh else jnp.zeros((0,), dt)
-        dh = st.z1 * z2 / (st.h * st.z1 + s1 * z2) if mh else s1
-        da = 1.0 / (st.p / z3 + st.nn / z4) if ma else jnp.zeros((0,), dt)
-        dbox = st.z5 / (st.dx - lb_i) + st.z6 / (ub_i - st.dx)
+        denom = jnp.maximum(st.h * st.z1 + s1 * z2, tiny) if mh else s1
+        dh = st.z1 * z2 / denom if mh else s1
+        da = 1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny) \
+            if ma else jnp.zeros((0,), dt)
+        dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
         return s1, z2, z3, z4, dh, da, dbox
 
     def newton(st, Kinv, s1, z2, z3, z4, rc1, rc2, rc3, rc4, rc5, rc6,
@@ -155,17 +192,18 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
 
         Sign convention: steps DECREASE the residuals (we solve J dW = -r).
         """
-        denom_h = st.h * st.z1 + s1 * z2 if mh else s1
+        denom_h = jnp.maximum(st.h * st.z1 + s1 * z2, tiny) if mh else s1
         b_h = (rc1 * z2 - st.z1 * rc2) / denom_h if mh else rc1
-        da = 1.0 / (st.p / z3 + st.nn / z4) if ma else jnp.zeros((0,), dt)
+        da = 1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny) \
+            if ma else jnp.zeros((0,), dt)
         b_a = -re + rc3 / z3 - rc4 / z4 if ma else re
         rhs = -rdx - (Jh.T @ b_h if mh else 0.0) \
             + (Ja.T @ (da * b_a) if ma else 0.0) \
-            + rc5 / (st.dx - lb_i) - rc6 / (ub_i - st.dx)
+            + rc5 / (st.dx - lb) - rc6 / (ub - st.dx)
         ddx = Kinv @ rhs
         # one refinement step against the exact condensed matrix
         dh_diag = st.z1 * z2 / denom_h if mh else denom_h
-        dbox = st.z5 / (st.dx - lb_i) + st.z6 / (ub_i - st.dx)
+        dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
         K_mv = (P @ ddx + (Jh.T @ (dh_diag * (Jh @ ddx)) if mh else 0.0)
                 + (Ja.T @ (da * (Ja @ ddx)) if ma else 0.0) + dbox * ddx)
         ddx = ddx + Kinv @ (rhs - K_mv)
@@ -175,8 +213,8 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         dy = da * ((Ja @ ddx) - b_a) if ma else jnp.zeros((0,), dt)
         dp = (rc3 + st.p * dy) / z3 if ma else st.p
         dnn = (rc4 - st.nn * dy) / z4 if ma else st.nn
-        dz5 = (rc5 - st.z5 * ddx) / (st.dx - lb_i)
-        dz6 = (rc6 + st.z6 * ddx) / (ub_i - st.dx)
+        dz5 = (rc5 - st.z5 * ddx) / (st.dx - lb)
+        dz6 = (rc6 + st.z6 * ddx) / (ub - st.dx)
         ds1 = dh - (Jh @ ddx) if mh else dh
         return ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1
 
@@ -193,8 +231,12 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
             K = K + (Jh.T * dh_d[None, :]) @ Jh
         if ma:
             K = K + (Ja.T * da_d[None, :]) @ Ja
+        # relative regularization: keeps the Cholesky PD through the late
+        # barrier stages where D-blocks span ~12 decades
+        reg = 1e-12 * jnp.max(jnp.diag(K)) + 1e-11 if dt == jnp.float64 \
+            else 1e-7 * jnp.max(jnp.diag(K)) + 1e-8
         L = jnp.linalg.cholesky(0.5 * (K + K.T)
-                                + 1e-9 * jnp.eye(n, dtype=dt))
+                                + reg * jnp.eye(n, dtype=dt))
         Linv = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(n, dtype=dt), lower=True)
         Kinv = Linv.T @ Linv
@@ -209,14 +251,14 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
                      -z2 * st.h if mh else s1,
                      -z3 * st.p if ma else st.p,
                      -z4 * st.nn if ma else st.nn,
-                     -st.z5 * (st.dx - lb_i),
-                     -st.z6 * (ub_i - st.dx),
+                     -st.z5 * (st.dx - lb),
+                     -st.z6 * (ub - st.dx),
                      rdx, re)
         ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1 = aff
         # primal/dual max steps (z2 = wh - z1 decreases when dz1 > 0;
         # z3 = wa - y with dy > 0; z4 = wa + y with dy < 0)
-        a = jnp.minimum(max_step(st.dx - lb_i, ddx),
-                        max_step(ub_i - st.dx, -ddx))
+        a = jnp.minimum(max_step(st.dx - lb, ddx),
+                        max_step(ub - st.dx, -ddx))
         a = jnp.minimum(a, max_step(st.z5, dz5))
         a = jnp.minimum(a, max_step(st.z6, dz6))
         if mh:
@@ -232,7 +274,7 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         mu_aff = mu_of(st.z1 + a * dz1, s1 + a * ds1, st.h + a * dh,
                        st.p + a * dp, st.nn + a * dnn, st.y + a * dy,
                        st.dx + a * ddx, st.z5 + a * dz5, st.z6 + a * dz6)
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, tiny)) ** 3, 1e-8, 1.0)
 
         # ---- corrector step with Mehrotra second-order terms ----
         smu = sigma * mu
@@ -241,12 +283,12 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
                      smu - z2 * st.h - (-dz1) * dh if mh else s1,
                      smu - z3 * st.p - (-dy) * dp if ma else st.p,
                      smu - z4 * st.nn - dy * dnn if ma else st.nn,
-                     smu - st.z5 * (st.dx - lb_i) - dz5 * ddx,
-                     smu - st.z6 * (ub_i - st.dx) - dz6 * (-ddx),
+                     smu - st.z5 * (st.dx - lb) - dz5 * ddx,
+                     smu - st.z6 * (ub - st.dx) - dz6 * (-ddx),
                      rdx, re)
         ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1 = cor
-        a = jnp.minimum(max_step(st.dx - lb_i, ddx),
-                        max_step(ub_i - st.dx, -ddx))
+        a = jnp.minimum(max_step(st.dx - lb, ddx),
+                        max_step(ub - st.dx, -ddx))
         a = jnp.minimum(a, max_step(st.z5, dz5))
         a = jnp.minimum(a, max_step(st.z6, dz6))
         if mh:
@@ -269,53 +311,83 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         z5_1 = st.z5 + a * dz5
         z6_1 = st.z6 + a * dz6
 
-        # ---- termination: eps_abs + eps_rel * scale (OSQP criterion) ----
-        # merit-coefficient escalation scales the stationarity terms by up
-        # to 1e6, so an absolute-only dual test is unreachable in f32
-        rdx1, re1 = residuals(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1)
-        d_scale = jnp.maximum(jnp.maximum(
-            jnp.max(jnp.abs(P @ dx1)), jnp.max(jnp.abs(q))),
-            jnp.maximum(jnp.max(jnp.abs(z5_1)), jnp.max(jnp.abs(z6_1))))
+        # ---- NaN guard: a broken Newton step keeps the incumbent ----
+        finite = (jnp.all(jnp.isfinite(dx1)) & jnp.all(jnp.isfinite(z5_1))
+                  & jnp.all(jnp.isfinite(z6_1)))
         if mh:
-            d_scale = jnp.maximum(d_scale, jnp.max(jnp.abs(Jh.T @ z1_1)))
+            finite = finite & jnp.all(jnp.isfinite(h1)) \
+                & jnp.all(jnp.isfinite(z1_1))
         if ma:
-            d_scale = jnp.maximum(d_scale, jnp.max(jnp.abs(Ja.T @ y1)))
-        p_scale = (jnp.maximum(jnp.maximum(jnp.max(jnp.abs(Ja @ dx1)),
-                                           jnp.max(jnp.abs(p1 - nn1))),
-                               jnp.max(jnp.abs(ea)))
-                   if ma else jnp.asarray(0.0, dt))
-        rd_u = jnp.max(jnp.abs(rdx1)) / c
-        rp_u = jnp.max(jnp.abs(re1)) if ma else jnp.asarray(0.0, dt)
-        eps_d = s.eps_abs + 10.0 * s.eps_rel * d_scale / c
-        eps_p = s.eps_abs + 10.0 * s.eps_rel * p_scale
+            finite = finite & jnp.all(jnp.isfinite(p1)) \
+                & jnp.all(jnp.isfinite(nn1)) & jnp.all(jnp.isfinite(y1))
+        dx1 = jnp.where(finite, dx1, st.dx)
+        h1 = jnp.where(finite, h1, st.h)
+        p1 = jnp.where(finite, p1, st.p)
+        nn1 = jnp.where(finite, nn1, st.nn)
+        z1_1 = jnp.where(finite, z1_1, st.z1)
+        y1 = jnp.where(finite, y1, st.y)
+        z5_1 = jnp.where(finite, z5_1, st.z5)
+        z6_1 = jnp.where(finite, z6_1, st.z6)
+
+        # ---- best-iterate tracking by exact composite objective ----
+        f1 = composite_unscaled(dx1)
+        better = finite & (f1 < st.f_best)
+        f_best = jnp.where(better, f1, st.f_best)
+        dx_best = jnp.where(better, dx1, st.dx_best)
+
+        # ---- termination ----
+        # primal: equality residual (hinge/box rows are feasible by
+        # construction); dual: stationarity; gap: total complementarity —
+        # all unscaled, measured against eps_abs + eps_rel * scale
+        # (the OSQP criterion the reference configures,
+        # osqp_interface.cpp:78-90)
+        rdx1, re1 = residuals(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1)
         mu1 = mu_of(z1_1, h1 - (Jh @ dx1 + eh) if mh else h1, h1,
                     p1, nn1, y1, dx1, z5_1, z6_1)
-        eps_mu = s.eps_abs * 0.1 + s.eps_rel * d_scale / c
-        # store eps-normalized ratios (scale-free; <= 1 means converged)
+        rp_u = jnp.max(jnp.abs(re1), initial=jnp.asarray(0.0, dt))
+        rd_u = jnp.max(jnp.abs(rdx1)) / c
+        gap_u = (n_pairs * mu1) / c
+        d_scale = jnp.maximum(jnp.max(jnp.abs(P @ dx1)),
+                              jnp.max(jnp.abs(q))) / c
+        p_scale = (jnp.maximum(jnp.max(jnp.abs(Ja @ dx1)),
+                               jnp.max(jnp.abs(ea)))
+                   if ma else jnp.asarray(0.0, dt))
+        f_scale = jnp.maximum(jnp.abs(f1), jnp.abs(f_zero)) + 1.0
+        eps_p = s.eps_abs + s.eps_rel * p_scale
+        eps_d = s.eps_abs + s.eps_rel * d_scale
+        eps_g = s.eps_abs * f_scale
         rp_r = rp_u / eps_p
-        rd_r = jnp.maximum(rd_u / eps_d, (mu1 / c) / eps_mu)
-        conv = (rp_r <= 1.0) & (rd_r <= 1.0)
-        status = jnp.where(conv, jnp.int32(QP_SOLVED), st.status)
+        rd_r = jnp.maximum(rd_u / eps_d, gap_u / eps_g)
+        conv = finite & (rp_r <= 1.0) & (rd_r <= 1.0)
+        status = jnp.where(conv, jnp.int32(QP_SOLVED),
+                           jnp.where(finite, st.status,
+                                     jnp.int32(QP_SOLVED_INACCURATE)))
         return _St(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1,
-                   st.it + 1, status, rp_r, rd_r)
+                   st.it + 1, status, rp_r, rd_r, f_best, dx_best)
 
     def cond(st: _St):
         return (st.status == QP_UNSOLVED) & (st.it < s.max_ipm_iter)
 
     big = jnp.asarray(jnp.inf, dt)
     st0 = _St(dx, h, p, nn, z1, y, z5, z6, jnp.int32(0),
-              jnp.int32(QP_UNSOLVED), big, big)
+              jnp.int32(QP_UNSOLVED), big, big,
+              f_zero, jnp.zeros((n,), dt))
     fin = jax.lax.while_loop(cond, body, st0)
 
-    # fin.rp / fin.rd are eps-normalized ratios; within 100x of the target
-    # accuracy is a usable (inaccurate) step for the trust-region loop
+    # iteration cap without residual convergence: the incumbent is still a
+    # descent (or zero) step; label it by whether it made progress
     status = jnp.where(
         fin.status == QP_UNSOLVED,
-        jnp.where((fin.rp < 100.0) & (fin.rd < 100.0),
-                  jnp.int32(QP_SOLVED_INACCURATE), jnp.int32(QP_MAX_ITER)),
+        jnp.where(fin.f_best < f_zero, jnp.int32(QP_SOLVED_INACCURATE),
+                  jnp.int32(QP_MAX_ITER)),
         fin.status)
+    # converged final iterate may still be (marginally) worse than the
+    # incumbent in composite value — return the best
+    f_fin = composite_unscaled(fin.dx)
+    use_fin = (status == QP_SOLVED) & (f_fin <= fin.f_best)
+    dx_out = jnp.clip(jnp.where(use_fin, fin.dx, fin.dx_best),
+                      data.lb, data.ub)
 
-    dx_out = jnp.clip(fin.dx, lb, ub)  # exact pin for lb == ub coords
     u_out = jnp.concatenate([dx_out, fin.h, fin.p, fin.nn])
     # duals in the ADMM row layout (hinge, abs, box, slack bounds); like the
     # ADMM path these stay in row-normalized space, unscaled by the cost

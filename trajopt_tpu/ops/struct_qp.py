@@ -329,5 +329,34 @@ def solve_struct_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         jnp.where((rp_out < 1e-2) & (rd_out < 1e-2),
                   jnp.int32(QP_SOLVED_INACCURATE), jnp.int32(QP_MAX_ITER)),
         status)
-    return StructQPSolution(u_out[:n], u_out, y_out / c, status, fin.it,
+
+    # ---- descent guarantee (what the trust-region SQP relies on) ----
+    # The returned step never increases the composite objective: evaluate
+    # the exact (unscaled) composite at the box-clipped primal and fall
+    # back to dx = 0 — always feasible — if the ADMM iterate is worse.
+    # An exact solver satisfies this trivially (dx = 0 is feasible); ADMM
+    # truncated at max_iter may not, and a model-worsening step must never
+    # reach the SQP merit logic (it would read as false convergence).
+    def composite(dx):
+        d = jnp.clip(dx, data.lb, data.ub)
+        f = 0.5 * d @ (data.P @ d) + data.q @ d
+        if mh:
+            f = f + jnp.sum(data.w_h
+                            * jnp.maximum(data.e_h + data.A_h @ d, 0.0))
+        if ma:
+            f = f + jnp.sum(data.w_a * jnp.abs(data.e_a + data.A_a @ d))
+        return f
+
+    dx_fin = jnp.clip(u_out[:n], data.lb, data.ub)
+    f_fin = composite(dx_fin)
+    f_zero = composite(jnp.zeros((n,), dt))
+    ok = jnp.isfinite(f_fin) & (f_fin <= f_zero)
+    dx_ret = jnp.where(ok, dx_fin, jnp.zeros((n,), dt))
+    u_ret = jnp.where(ok, u_out, jnp.zeros_like(u_out))
+    # a residual-converged solve whose optimum offers no improvement over
+    # dx = 0 is an ACCURATE "no improvement" answer (the SQP reads it as
+    # convergence); only truncated runs without descent are failures
+    status = jnp.where(ok | (status == QP_SOLVED), status,
+                       jnp.int32(QP_MAX_ITER))
+    return StructQPSolution(dx_ret, u_ret, y_out / c, status, fin.it,
                             rp_out, rd_out)

@@ -118,9 +118,13 @@ def load_problem(doc: dict | str, chain: Chain,
         doc = json.loads(doc)
 
     basic = dict(doc.get("basic_info", {}))
+    # NOTE: "start_fixed" is deliberately NOT accepted: the reference removed
+    # it from the JSON schema in favor of fixed_timesteps (readBasicInfo,
+    # problem_description.cpp:122-123; CHANGELOG "Changed dofs_fixed name to
+    # fixed_timesteps"), and its ensure_only_members would reject it too.
     _only(basic, {"n_steps", "manip", "fixed_timesteps", "fixed_dofs",
                   "use_time", "dt_lower_lim", "dt_upper_lim",
-                  "convex_solver", "start_fixed"}, "basic_info")
+                  "convex_solver"}, "basic_info")
     T = int(basic["n_steps"])
     D = chain.n_dof
 

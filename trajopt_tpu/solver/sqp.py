@@ -389,12 +389,15 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         exact = old_merit - new_merit
         ratio = exact / jnp.where(jnp.abs(approx) > 1e-30, approx, 1e-30)
 
-        # A QP result is usable if solved accurately (reference: CVX_SOLVED,
-        # optimizers.cpp:813) OR inaccurate-but-model-improving: an
-        # inaccurate step with approx <= 0 is junk that would falsely
-        # trigger penalty-round "convergence" and merit escalation, so it
-        # goes through the shrink-and-retry failure path instead.
-        qp_ok = (sol.status == 1) | ((sol.status == 2) & (approx > 0))
+        # A QP result is usable if solved (reference: CVX_SOLVED,
+        # optimizers.cpp:813) or inaccurate-but-descent.  Both inner solvers
+        # guarantee f_model(dx) <= f_model(0) (best-iterate tracking with a
+        # dx = 0 incumbent), so approx >= 0 always holds on a usable step —
+        # the invariant an exact QP gives the reference.  approx < 0 can
+        # then only mean a broken solve; it funnels into the
+        # shrink-and-retry failure path (never into "convergence").
+        qp_ok = ((sol.status == 1) | (sol.status == 2)) & (approx >= 0) \
+            & jnp.all(jnp.isfinite(dx))
 
         # ---------------- QP-success decision tree ----------------
         sqp_conv = (approx < p.min_approx_improve) | (
@@ -422,7 +425,9 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         viol1 = jnp.where(ok & accept, new_viols, st.cnt_viols)
         box1 = jnp.where(
             ok,
-            jnp.where(accept, st.box * p.trust_expand_ratio,
+            jnp.where(accept,
+                      jnp.minimum(st.box * p.trust_expand_ratio,
+                                  p.max_trust_box_size),
                       jnp.where(shrink_step, st.box * p.trust_shrink_ratio,
                                 st.box)),
             box_fail,
@@ -506,13 +511,11 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
 
     st = jax.lax.while_loop(cond, body, st0)
 
-    # backstop cap hit while still running -> iteration-limit semantics
-    viol_ok = jnp.max(st.cnt_viols, initial=jnp.asarray(0.0, x0.dtype)) < p.cnt_tolerance
-    final_status = jnp.where(
-        st.status == RUNNING,
-        jnp.where(viol_ok, jnp.int32(CONVERGED), jnp.int32(SCO_ITERATION_LIMIT)),
-        st.status,
-    )
+    # backstop cap hit while still running -> iteration limit, honestly:
+    # the reference never labels an exhausted budget CONVERGED
+    # (optimizers.cpp:911-930)
+    final_status = jnp.where(st.status == RUNNING,
+                             jnp.int32(SCO_ITERATION_LIMIT), st.status)
     return SQPResult(
         x=st.x,
         status=final_status,
