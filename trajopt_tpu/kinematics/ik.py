@@ -116,5 +116,5 @@ def ik_term(
         return c * (q - jax.lax.stop_gradient(ik.q))
 
     if is_constraint:
-        return eq_constraint(name, n_dof, fn)
-    return squared_cost(name, n_dof, fn)
+        return eq_constraint(name, n_dof, fn, step_coupling=0)
+    return squared_cost(name, n_dof, fn, step_coupling=0)

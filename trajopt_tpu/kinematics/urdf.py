@@ -120,7 +120,23 @@ def _parse_geom(el) -> Optional[UrdfGeom]:
 
 
 def parse_urdf(xml_text: str) -> RobotModel:
-    root = ET.fromstring(xml_text)
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        # xacro-generated URDFs use namespace prefixes (xacro:, tesseract:)
+        # without declaring them; declare any undeclared prefix on the root
+        # element so ElementTree accepts the document
+        import re
+        prefixes = set(re.findall(r"[\s<]([A-Za-z_][\w.-]*):[\w.-]+\s*=",
+                                   xml_text))
+        prefixes |= set(re.findall(r"<([A-Za-z_][\w.-]*):", xml_text))
+        prefixes -= {"xml", "xmlns"}
+        decls = "".join(
+            f' xmlns:{p}="urn:x-undeclared:{p}"' for p in sorted(prefixes)
+            if f"xmlns:{p}" not in xml_text)
+        patched = re.sub(r"<robot(\s)", f"<robot{decls}\\1", xml_text,
+                         count=1)
+        root = ET.fromstring(patched)
     name = root.get("name", "robot")
     links, geoms = [], {}
     for link_el in root.findall("link"):

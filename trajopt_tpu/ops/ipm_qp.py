@@ -186,7 +186,7 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
         return s1, z2, z3, z4, dh, da, dbox
 
-    def newton(st, Kinv, s1, z2, z3, z4, rc1, rc2, rc3, rc4, rc5, rc6,
+    def newton(st, kkt_solve, s1, z2, z3, z4, rc1, rc2, rc3, rc4, rc5, rc6,
                rdx, re):
         """Solve the condensed Newton system for given complementarity rhs.
 
@@ -200,13 +200,13 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         rhs = -rdx - (Jh.T @ b_h if mh else 0.0) \
             + (Ja.T @ (da * b_a) if ma else 0.0) \
             + rc5 / (st.dx - lb) - rc6 / (ub - st.dx)
-        ddx = Kinv @ rhs
+        ddx = kkt_solve(rhs)
         # one refinement step against the exact condensed matrix
         dh_diag = st.z1 * z2 / denom_h if mh else denom_h
         dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
         K_mv = (P @ ddx + (Jh.T @ (dh_diag * (Jh @ ddx)) if mh else 0.0)
                 + (Ja.T @ (da * (Ja @ ddx)) if ma else 0.0) + dbox * ddx)
-        ddx = ddx + Kinv @ (rhs - K_mv)
+        ddx = ddx + kkt_solve(rhs - K_mv)
 
         dz1 = dh_diag * (Jh @ ddx) + b_h if mh else b_h
         dh = (rc2 + st.h * dz1) / z2 if mh else st.h
@@ -224,6 +224,11 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         a = jnp.where(bad, -_FTB * v / jnp.where(bad, dv, -1.0), cap)
         return jnp.minimum(jnp.min(a, initial=1.0), 1.0)
 
+    # static decision: block-tridiagonal factorization when the caller
+    # guarantees the KKT band (solver.sqp sets kkt_block from term metadata)
+    bsz = s.kkt_block
+    use_btd = bsz > 0 and n % bsz == 0 and n >= 2 * bsz
+
     def body(st: _St):
         s1, z2, z3, z4, dh_d, da_d, dbox = kkt_diags(st)
         K = P + jnp.diag(dbox)
@@ -235,18 +240,31 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         # barrier stages where D-blocks span ~12 decades
         reg = 1e-12 * jnp.max(jnp.diag(K)) + 1e-11 if dt == jnp.float64 \
             else 1e-7 * jnp.max(jnp.diag(K)) + 1e-8
-        L = jnp.linalg.cholesky(0.5 * (K + K.T)
-                                + reg * jnp.eye(n, dtype=dt))
-        Linv = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(n, dtype=dt), lower=True)
-        Kinv = Linv.T @ Linv
+        Ksym = 0.5 * (K + K.T)
+        if use_btd:
+            from .btridiag import blocks_from_dense, btd_factor, btd_solve
+            nb = n // bsz
+            Db, Ob = blocks_from_dense(Ksym, nb, bsz)
+            Db = Db + reg * jnp.eye(bsz, dtype=dt)[None]
+            LD, LM = btd_factor(Db, Ob)
+
+            def kkt_solve(r):
+                return btd_solve(LD, LM, r.reshape(nb, bsz)).reshape(n)
+        else:
+            L = jnp.linalg.cholesky(Ksym + reg * jnp.eye(n, dtype=dt))
+            Linv = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(n, dtype=dt), lower=True)
+            Kinv = Linv.T @ Linv
+
+            def kkt_solve(r):
+                return Kinv @ r
 
         rdx, re = residuals(st.dx, st.h, st.p, st.nn, st.z1, st.y,
                             st.z5, st.z6)
         mu = mu_of(st.z1, s1, st.h, st.p, st.nn, st.y, st.dx, st.z5, st.z6)
 
         # ---- affine (predictor) step: rc = -z*s ----
-        aff = newton(st, Kinv, s1, z2, z3, z4,
+        aff = newton(st, kkt_solve, s1, z2, z3, z4,
                      -st.z1 * s1 if mh else s1,
                      -z2 * st.h if mh else s1,
                      -z3 * st.p if ma else st.p,
@@ -278,7 +296,7 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
 
         # ---- corrector step with Mehrotra second-order terms ----
         smu = sigma * mu
-        cor = newton(st, Kinv, s1, z2, z3, z4,
+        cor = newton(st, kkt_solve, s1, z2, z3, z4,
                      smu - st.z1 * s1 - dz1 * ds1 if mh else s1,
                      smu - z2 * st.h - (-dz1) * dh if mh else s1,
                      smu - z3 * st.p - (-dy) * dp if ma else st.p,

@@ -72,6 +72,11 @@ class QPSettings:
     # (Mehrotra predictor-corrector, ops.ipm_qp — the BPMPD-class backend)
     solver: str = "admm"
     max_ipm_iter: int = 40
+    # KKT block size for the block-tridiagonal Cholesky path (ops.btridiag):
+    # 0 = dense.  Only valid when the condensed KKT matrix truly is
+    # block-tridiagonal at this block size (every term couples <= adjacent
+    # trajectory steps); solver.sqp auto-sets it from the term metadata.
+    kkt_block: int = 0
 
 
 class QPData(NamedTuple):

@@ -128,6 +128,8 @@ class TrajProblemBuilder:
             n_x=T * D,
             cost_terms=tuple(self._cost_terms),
             cnt_terms=tuple(self._cnt_terms),
+            n_steps=T,
+            n_cols=D,
         )
         data = ProblemData(
             x0=init.reshape(-1),

@@ -330,10 +330,30 @@ def solve(spec: ProblemSpec, data: ProblemData,
     return _solve(spec, params, data)
 
 
+def _bandable(spec: ProblemSpec) -> bool:
+    """True when the condensed KKT matrix is provably block-tridiagonal:
+    a trajectory grid where every term couples at most adjacent steps
+    (joint-motion stencils, per-step pose terms, swept-collision gaps —
+    the reference's always-banded trajectory Hessian, SURVEY §5.7(a))."""
+    if spec.n_steps < 2 or spec.n_cols < 1:
+        return False
+    if spec.n_steps * spec.n_cols != spec.n_x:
+        return False
+    return all(t.kind != TermKind.GENERIC
+               and t.step_coupling is not None and t.step_coupling <= 1
+               for t in spec.cost_terms + spec.cnt_terms)
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult:
     plan = _plan(spec)
     p = params
+    # block-tridiagonal KKT path: scan-based block Cholesky instead of a
+    # dense one (a large win on TPU where dense Cholesky/triangular-solve
+    # lower to long sequential loops).  kkt_block == 0 means "auto".
+    if p.qp.kkt_block == 0 and _bandable(spec):
+        p = dataclasses.replace(
+            p, qp=dataclasses.replace(p.qp, kkt_block=spec.n_cols))
     n_x = spec.n_x
     n_cnt = plan.n_entries
     # structured slack-QP dimensions (ops.struct_qp): full primal u and duals

@@ -94,6 +94,11 @@ class ProblemSpec:
     n_x: int
     cost_terms: tuple[Term, ...] = ()
     cnt_terms: tuple[Term, ...] = ()
+    # trajectory grid shape (n_x == n_steps * n_cols when set): lets the
+    # solver pick the block-tridiagonal KKT factorization when every term's
+    # step_coupling is <= 1 (ops.btridiag; SURVEY §5.7(a) band structure)
+    n_steps: int = 0
+    n_cols: int = 0
 
     def __post_init__(self):
         for t in self.cost_terms:

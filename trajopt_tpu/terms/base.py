@@ -76,6 +76,12 @@ class Term:
     # FK/collision stays fused instead of launching one tiny evaluation
     # per step.
     viol_groups: int = 1
+    # trajectory band structure: the maximum |i - j| over pairs of steps a
+    # single error row couples (0 = per-step, 1 = adjacent steps, ...);
+    # None = unknown/dense.  When every term of a problem couples <= 1 the
+    # condensed KKT matrix is block-tridiagonal and the solver uses the
+    # scan-based block Cholesky (ops.btridiag) instead of a dense one.
+    step_coupling: Optional[int] = None
 
     @property
     def is_cost(self) -> bool:
@@ -133,25 +139,36 @@ class Term:
         return jnp.sum(v.reshape(self.viol_groups, -1), axis=1)
 
 
-def squared_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
-    return Term(name, TermKind.SQUARED, n_rows, fn, weight_fn, jac_fn)
+def squared_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
+                 step_coupling=None) -> Term:
+    return Term(name, TermKind.SQUARED, n_rows, fn, weight_fn, jac_fn,
+                step_coupling=step_coupling)
 
 
-def abs_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
-    return Term(name, TermKind.ABS, n_rows, fn, weight_fn, jac_fn)
+def abs_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
+             step_coupling=None) -> Term:
+    return Term(name, TermKind.ABS, n_rows, fn, weight_fn, jac_fn,
+                step_coupling=step_coupling)
 
 
-def hinge_cost(name, n_rows, fn, weight_fn=None, jac_fn=None) -> Term:
-    return Term(name, TermKind.HINGE, n_rows, fn, weight_fn, jac_fn)
+def hinge_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
+               step_coupling=None) -> Term:
+    return Term(name, TermKind.HINGE, n_rows, fn, weight_fn, jac_fn,
+                step_coupling=step_coupling)
 
 
 def generic_cost(name, fn) -> Term:
+    # GENERIC terms carry a dense PSD-projected Hessian — never bandable
     return Term(name, TermKind.GENERIC, 1, fn)
 
 
-def eq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1) -> Term:
-    return Term(name, TermKind.EQ, n_rows, fn, None, jac_fn, viol_groups)
+def eq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1,
+                  step_coupling=None) -> Term:
+    return Term(name, TermKind.EQ, n_rows, fn, None, jac_fn, viol_groups,
+                step_coupling=step_coupling)
 
 
-def ineq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1) -> Term:
-    return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn, viol_groups)
+def ineq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1,
+                    step_coupling=None) -> Term:
+    return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn, viol_groups,
+                step_coupling=step_coupling)

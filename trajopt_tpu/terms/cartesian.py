@@ -88,10 +88,10 @@ def cart_pose_term(
         return J.reshape(6, n_steps * nc)
 
     if is_constraint:
-        return eq_constraint(name, 6, fn, jac_fn=jac_fn)
+        return eq_constraint(name, 6, fn, jac_fn=jac_fn, step_coupling=0)
     if kind == "squared":
-        return squared_cost(name, 6, fn, jac_fn=jac_fn)
-    return abs_cost(name, 6, fn, jac_fn=jac_fn)
+        return squared_cost(name, 6, fn, jac_fn=jac_fn, step_coupling=0)
+    return abs_cost(name, 6, fn, jac_fn=jac_fn, step_coupling=0)
 
 
 def default_cart_pose_params(target_R=None, target_p=None, pos_coeffs=1.0,
@@ -147,8 +147,8 @@ def cart_line_term(
         return err * jnp.asarray(p["coeffs"], x.dtype)
 
     if is_constraint:
-        return eq_constraint(name, 6, fn)
-    return abs_cost(name, 6, fn)
+        return eq_constraint(name, 6, fn, step_coupling=0)
+    return abs_cost(name, 6, fn, step_coupling=0)
 
 
 def upright_term(
@@ -196,8 +196,9 @@ def upright_term(
     n = 2 * span
     if is_constraint:
         # per-step groups: the reference hatches one pose term per timestep
-        return eq_constraint(name, n, fn, jac_fn=jac_fn, viol_groups=span)
-    return squared_cost(name, n, fn, jac_fn=jac_fn)
+        return eq_constraint(name, n, fn, jac_fn=jac_fn, viol_groups=span,
+                             step_coupling=0)
+    return squared_cost(name, n, fn, jac_fn=jac_fn, step_coupling=0)
 
 
 def cart_vel_term(
@@ -232,6 +233,7 @@ def cart_vel_term(
 
     n = 6 * n_gaps
     if is_constraint:
-        return ineq_constraint(name, n, fn, viol_groups=n_gaps)
+        return ineq_constraint(name, n, fn, viol_groups=n_gaps,
+                               step_coupling=1)
     from .base import hinge_cost
-    return hinge_cost(name, n, fn)
+    return hinge_cost(name, n, fn, step_coupling=1)

@@ -84,8 +84,10 @@ def discrete_collision_term(
             name, n, cfn,
             jac_fn=lambda x, p: jac_fn(
                 x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)),
-            viol_groups=span)  # one reference constraint per timestep
-    return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn)
+            viol_groups=span,  # one reference constraint per timestep
+            step_coupling=0)
+    return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn,
+                      step_coupling=0)
 
 
 def cast_collision_term(
@@ -153,8 +155,10 @@ def cast_collision_term(
             name, n, cfn,
             jac_fn=lambda x, p: jac_fn(
                 x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)),
-            viol_groups=n_gaps)  # one reference constraint per step gap
-    return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn)
+            viol_groups=n_gaps,  # one reference constraint per step gap
+            step_coupling=1)
+    return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn,
+                      step_coupling=1)
 
 
 def trajectory_in_collision(world: CollisionWorld, X: jax.Array,

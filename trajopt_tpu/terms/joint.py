@@ -141,9 +141,11 @@ def joint_motion_term(
                 w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
                                      (span, n_dof)).reshape(-1)
                 return w[:, None] * S.astype(x.dtype)
-            return eq_constraint(name, n, cfn, jac_fn=cjac)
+            return eq_constraint(name, n, cfn, jac_fn=cjac,
+                                 step_coupling=order)
         return squared_cost(name, n, fn, weight_fn=_weight_fn(span, n_dof),
-                            jac_fn=lambda x, p: S.astype(x.dtype))
+                            jac_fn=lambda x, p: S.astype(x.dtype),
+                            step_coupling=order)
 
     fn = _tol_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
     # tolerance rows are [v - t - up; t + lo - v] => jac = [S; -S]
@@ -157,10 +159,12 @@ def joint_motion_term(
             w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
                                  (span, n_dof)).reshape(-1)
             return jnp.concatenate([w, w])[:, None] * S2.astype(x.dtype)
-        return ineq_constraint(name, 2 * n, cfn, jac_fn=cjac2)
+        return ineq_constraint(name, 2 * n, cfn, jac_fn=cjac2,
+                               step_coupling=order)
     return hinge_cost(name, 2 * n, fn,
                       weight_fn=_weight_fn(span, n_dof, doubled=True),
-                      jac_fn=lambda x, p: S2.astype(x.dtype))
+                      jac_fn=lambda x, p: S2.astype(x.dtype),
+                      step_coupling=order)
 
 
 def joint_pos_term(name, n_steps, n_dof, **kw) -> Term:

@@ -49,4 +49,4 @@ def avoid_singularity_term(
     def wf(p):
         return jnp.broadcast_to(jnp.asarray(p["coeffs"]), (span,))
 
-    return squared_cost(name, span, fn, weight_fn=wf)
+    return squared_cost(name, span, fn, weight_fn=wf, step_coupling=0)

@@ -64,8 +64,8 @@ def timed_joint_vel_term(
         if is_constraint:
             def cfn(x, p):
                 return fn(x, p) * wf(p)
-            return eq_constraint(name, n, cfn)
-        return squared_cost(name, n, fn, weight_fn=wf)
+            return eq_constraint(name, n, cfn, step_coupling=1)
+        return squared_cost(name, n, fn, weight_fn=wf, step_coupling=1)
 
     def fn(x, p):
         vel, targ = rows(x, p)
@@ -80,9 +80,10 @@ def timed_joint_vel_term(
     if is_constraint:
         def cfn(x, p):
             return fn(x, p) * wf(p, doubled=True)
-        return ineq_constraint(name, 2 * n, cfn)
+        return ineq_constraint(name, 2 * n, cfn, step_coupling=1)
     return hinge_cost(name, 2 * n, fn,
-                      weight_fn=lambda p: wf(p, doubled=True))
+                      weight_fn=lambda p: wf(p, doubled=True),
+                      step_coupling=1)
 
 
 def total_time_term(
