@@ -13,20 +13,27 @@ subproblem (hinge/abs slack form, trajopt_sqp/src/trajopt_qp_problem.cpp:
 Why IPM here: these trajectory QPs are stiff enough that OSQP-style ADMM
 needs >1000 iterations to the reference accuracy contract, while Mehrotra
 predictor-corrector converges in ~10-30 steps whose per-step cost is one
-n-sized Cholesky + two solves — batched dense MXU math.  ADMM
-(ops.struct_qp) remains available as the OSQP-parity backend.
+n-sized factorization + two solves.  ADMM (ops.struct_qp) remains available
+as the OSQP-parity backend.
 
-Structure exploitation: eliminating (h, p, nn) slack/dual blocks reduces
-every Newton system to
+Structure exploitation, in two layers:
 
-  K = P + Jh' D_h Jh + Ja' D_a Ja + D_box     (n x n, SPD)
+1. Eliminating (h, p, nn) slack/dual blocks condenses every Newton system to
+   K = P + Jh' D_h Jh + Ja' D_a Ja + D_box  (n x n, SPD) with
+   iteration-dependent positive diagonals — the QP never materializes
+   slack-augmented KKT matrices.
+2. When the rows are BANDED (ops.banded_rows format: every row a 2-block
+   window on the trajectory grid — data.A_h is None and data.Bh/Gh carry
+   the windows) the solver touches only the nonzero windows: matvecs are
+   per-group einsums, K is accumulated directly in block-tridiagonal form,
+   and the factorization is the scan-based block Cholesky (ops.btridiag).
+   At flagship shapes the dense row matrix is ~15x its nonzeros; the banded
+   path removes that HBM traffic entirely.
 
-with iteration-dependent positive diagonals — the same condensed form the
-ADMM path factorizes, so the QP never materializes slack-augmented KKT
-matrices.  Dual structure: the hinge dual satisfies z1 in (0, w_h) (its
-complement z2 = w_h - z1), the abs dual y in (-w_a, w_a) (z3 = w_a - y,
-z4 = w_a + y) — the IPM keeps every pair strictly interior and drives the
-barrier parameter mu -> 0 with Mehrotra's adaptive sigma = (mu_aff/mu)^3.
+Dual structure: the hinge dual satisfies z1 in (0, w_h) (its complement
+z2 = w_h - z1), the abs dual y in (-w_a, w_a) (z3 = w_a - y, z4 = w_a + y)
+— the IPM keeps every pair strictly interior and drives the barrier
+parameter mu -> 0 with Mehrotra's adaptive sigma = (mu_aff/mu)^3.
 
 Robustness contract (what the trust-region SQP relies on):
 
@@ -54,6 +61,15 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .banded_rows import (
+    bb_mv,
+    bb_quad,
+    bb_rmv,
+    bb_rowmax,
+    bb_scale_cols,
+    bb_scale_rows,
+)
+from .btridiag import blocks_from_dense, btd_factor, btd_solve
 from .prox_qp import ProxQPData
 from .qp import (
     QPSettings,
@@ -85,6 +101,13 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     dt = data.q.dtype
     tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-25, dt)
 
+    banded = data.A_h is None  # static: rows in ops.banded_rows format
+    bsz = s.kkt_block
+    use_btd = bsz > 0 and n % bsz == 0 and n >= 2 * bsz
+    if banded:
+        assert use_btd, "banded rows require kkt_block to be set"
+        nb = n // bsz
+
     # ---- exact elimination of pinned coordinates (lb == ub) ----
     width0 = data.ub - data.lb
     free = (width0 >= 1e-9).astype(dt)  # (n,) 1 = optimized, 0 = pinned
@@ -93,20 +116,71 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     # the pinned coordinate by a dummy on [-1, 1] with unit curvature
     q0 = free * (data.q + data.P @ pin_val)
     P0 = free[:, None] * data.P * free[None, :] + jnp.diag(1.0 - free)
-    eh0 = data.e_h + data.A_h @ pin_val if mh else data.e_h
-    ea0 = data.e_a + data.A_a @ pin_val if ma else data.e_a
-    Ah0 = data.A_h * free[None, :]
-    Aa0 = data.A_a * free[None, :]
     lb = jnp.where(free > 0, data.lb, -1.0)
     ub = jnp.where(free > 0, data.ub, 1.0)
 
     # ---- row normalization + cost scaling (as the ADMM path) ----
-    rh = jnp.maximum(jnp.max(jnp.abs(Ah0), axis=1), 1e-8) if mh else jnp.ones((0,), dt)
-    ra = jnp.maximum(jnp.max(jnp.abs(Aa0), axis=1), 1e-8) if ma else jnp.ones((0,), dt)
-    Jh = Ah0 / rh[:, None] if mh else Ah0
-    Ja = Aa0 / ra[:, None] if ma else Aa0
-    eh = eh0 / rh
-    ea = ea0 / ra
+    if banded:
+        Bh0 = bb_scale_cols(data.Bh, data.Gh, free, bsz) if mh else ()
+        Ba0 = bb_scale_cols(data.Ba, data.Ga, free, bsz) if ma else ()
+        eh0 = data.e_h + (bb_mv(data.Bh, data.Gh, pin_val, bsz) if mh else 0.0)
+        ea0 = data.e_a + (bb_mv(data.Ba, data.Ga, pin_val, bsz) if ma else 0.0)
+        rh = jnp.maximum(bb_rowmax(Bh0).astype(dt), 1e-8) if mh \
+            else jnp.ones((0,), dt)
+        ra = jnp.maximum(bb_rowmax(Ba0).astype(dt), 1e-8) if ma \
+            else jnp.ones((0,), dt)
+        BhS = bb_scale_rows(Bh0, 1.0 / rh) if mh else ()
+        BaS = bb_scale_rows(Ba0, 1.0 / ra) if ma else ()
+
+        def jh_mv(v):
+            return bb_mv(BhS, data.Gh, v, bsz)
+
+        def jh_rmv(w):
+            return bb_rmv(BhS, data.Gh, w, n, bsz)
+
+        def ja_mv(v):
+            return bb_mv(BaS, data.Ga, v, bsz)
+
+        def ja_rmv(w):
+            return bb_rmv(BaS, data.Ga, w, n, bsz)
+
+        def ah_mv_raw(v):  # original unscaled rows (composite objective)
+            return bb_mv(data.Bh, data.Gh, v, bsz)
+
+        def aa_mv_raw(v):
+            return bb_mv(data.Ba, data.Ga, v, bsz)
+    else:
+        eh0 = data.e_h + data.A_h @ pin_val if mh else data.e_h
+        ea0 = data.e_a + data.A_a @ pin_val if ma else data.e_a
+        Ah0 = data.A_h * free[None, :]
+        Aa0 = data.A_a * free[None, :]
+        rh = jnp.maximum(jnp.max(jnp.abs(Ah0), axis=1), 1e-8) if mh \
+            else jnp.ones((0,), dt)
+        ra = jnp.maximum(jnp.max(jnp.abs(Aa0), axis=1), 1e-8) if ma \
+            else jnp.ones((0,), dt)
+        Jh = Ah0 / rh[:, None] if mh else Ah0
+        Ja = Aa0 / ra[:, None] if ma else Aa0
+
+        def jh_mv(v):
+            return Jh @ v
+
+        def jh_rmv(w):
+            return Jh.T @ w
+
+        def ja_mv(v):
+            return Ja @ v
+
+        def ja_rmv(w):
+            return Ja.T @ w
+
+        def ah_mv_raw(v):
+            return data.A_h @ v
+
+        def aa_mv_raw(v):
+            return data.A_a @ v
+
+    eh = eh0 / rh if mh else eh0
+    ea = ea0 / ra if ma else ea0
     cnorm = jnp.maximum(jnp.maximum(jnp.mean(jnp.abs(P0)),
                                     jnp.max(jnp.abs(q0))), 1.0)
     c = 1.0 / cnorm
@@ -115,14 +189,18 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     wh = jnp.maximum(data.w_h * rh * c, _WMIN)
     wa = jnp.maximum(data.w_a * ra * c, _WMIN)
 
+    if use_btd:
+        P_D, P_O = blocks_from_dense(P, n // bsz, bsz)
+        eye_b = jnp.eye(bsz, dtype=dt)
+
     def composite_unscaled(dx):
         """Exact composite objective of the ORIGINAL problem at clip(dx)."""
         d = jnp.clip(dx, data.lb, data.ub)
         f = 0.5 * d @ (data.P @ d) + data.q @ d
         if mh:
-            f = f + jnp.sum(data.w_h * jnp.maximum(data.e_h + data.A_h @ d, 0.0))
+            f = f + jnp.sum(data.w_h * jnp.maximum(data.e_h + ah_mv_raw(d), 0.0))
         if ma:
-            f = f + jnp.sum(data.w_a * jnp.abs(data.e_a + data.A_a @ d))
+            f = f + jnp.sum(data.w_a * jnp.abs(data.e_a + aa_mv_raw(d)))
         return f
 
     f_zero = composite_unscaled(jnp.zeros((n,), dt))
@@ -130,10 +208,10 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     # ---- initial interior point ----
     dx = jnp.clip(jnp.zeros((n,), dt), lb + 0.01 * (ub - lb),
                   ub - 0.01 * (ub - lb))
-    g = Jh @ dx + eh if mh else jnp.zeros((0,), dt)
+    g = jh_mv(dx) + eh if mh else jnp.zeros((0,), dt)
     h = jnp.maximum(g, 0.0) + 1.0
     s1 = h - g  # >= 1
-    r0 = Ja @ dx + ea if ma else jnp.zeros((0,), dt)
+    r0 = ja_mv(dx) + ea if ma else jnp.zeros((0,), dt)
     p = jnp.maximum(r0, 0.0) + 1.0
     nn = p - r0  # >= 1, makes the equality exact at the start
     z1 = 0.5 * wh
@@ -153,9 +231,9 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         return tot / n_pairs
 
     def residuals(dx, h, p, nn, z1, y, z5, z6):
-        rdx = P @ dx + q + (Jh.T @ z1 if mh else 0.0) \
-            + (Ja.T @ y if ma else 0.0) - z5 + z6
-        re = (Ja @ dx - p + nn + ea) if ma else jnp.zeros((0,), dt)
+        rdx = P @ dx + q + (jh_rmv(z1) if mh else 0.0) \
+            + (ja_rmv(y) if ma else 0.0) - z5 + z6
+        re = (ja_mv(dx) - p + nn + ea) if ma else jnp.zeros((0,), dt)
         return rdx, re
 
     class _St(NamedTuple):
@@ -178,7 +256,7 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         z2 = wh - st.z1
         z3 = wa - st.y
         z4 = wa + st.y
-        s1 = st.h - (Jh @ st.dx + eh) if mh else jnp.zeros((0,), dt)
+        s1 = st.h - (jh_mv(st.dx) + eh) if mh else jnp.zeros((0,), dt)
         denom = jnp.maximum(st.h * st.z1 + s1 * z2, tiny) if mh else s1
         dh = st.z1 * z2 / denom if mh else s1
         da = 1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny) \
@@ -197,25 +275,25 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         da = 1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny) \
             if ma else jnp.zeros((0,), dt)
         b_a = -re + rc3 / z3 - rc4 / z4 if ma else re
-        rhs = -rdx - (Jh.T @ b_h if mh else 0.0) \
-            + (Ja.T @ (da * b_a) if ma else 0.0) \
+        rhs = -rdx - (jh_rmv(b_h) if mh else 0.0) \
+            + (ja_rmv(da * b_a) if ma else 0.0) \
             + rc5 / (st.dx - lb) - rc6 / (ub - st.dx)
         ddx = kkt_solve(rhs)
         # one refinement step against the exact condensed matrix
         dh_diag = st.z1 * z2 / denom_h if mh else denom_h
         dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
-        K_mv = (P @ ddx + (Jh.T @ (dh_diag * (Jh @ ddx)) if mh else 0.0)
-                + (Ja.T @ (da * (Ja @ ddx)) if ma else 0.0) + dbox * ddx)
+        K_mv = (P @ ddx + (jh_rmv(dh_diag * jh_mv(ddx)) if mh else 0.0)
+                + (ja_rmv(da * ja_mv(ddx)) if ma else 0.0) + dbox * ddx)
         ddx = ddx + kkt_solve(rhs - K_mv)
 
-        dz1 = dh_diag * (Jh @ ddx) + b_h if mh else b_h
+        dz1 = dh_diag * jh_mv(ddx) + b_h if mh else b_h
         dh = (rc2 + st.h * dz1) / z2 if mh else st.h
-        dy = da * ((Ja @ ddx) - b_a) if ma else jnp.zeros((0,), dt)
+        dy = da * (ja_mv(ddx) - b_a) if ma else jnp.zeros((0,), dt)
         dp = (rc3 + st.p * dy) / z3 if ma else st.p
         dnn = (rc4 - st.nn * dy) / z4 if ma else st.nn
         dz5 = (rc5 - st.z5 * ddx) / (st.dx - lb)
         dz6 = (rc6 + st.z6 * ddx) / (ub - st.dx)
-        ds1 = dh - (Jh @ ddx) if mh else dh
+        ds1 = dh - jh_mv(ddx) if mh else dh
         return ddx, dh, dp, dnn, dz1, dy, dz5, dz6, ds1
 
     def max_step(v, dv, cap=1e10):
@@ -224,40 +302,60 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         a = jnp.where(bad, -_FTB * v / jnp.where(bad, dv, -1.0), cap)
         return jnp.minimum(jnp.min(a, initial=1.0), 1.0)
 
-    # static decision: block-tridiagonal factorization when the caller
-    # guarantees the KKT band (solver.sqp sets kkt_block from term metadata)
-    bsz = s.kkt_block
-    use_btd = bsz > 0 and n % bsz == 0 and n >= 2 * bsz
+    def make_kkt_solve(dh_d, da_d, dbox):
+        """Factorize K = P + Jh' Dh Jh + Ja' Da Ja + Dbox; return solver."""
+        # relative regularization: keeps the Cholesky PD through the late
+        # barrier stages where D-blocks span ~12 decades
+        if banded:
+            D = P_D + jax.vmap(jnp.diag)(dbox.reshape(nb, bsz))
+            O = P_O
+            if mh:
+                Dh, Oh = bb_quad(BhS, data.Gh, dh_d, nb, bsz)
+                D, O = D + Dh, O + Oh
+            if ma:
+                Da, Oa = bb_quad(BaS, data.Ga, da_d, nb, bsz)
+                D, O = D + Da, O + Oa
+            diag_max = jnp.max(jax.vmap(jnp.diag)(D))
+            reg = (1e-12 * diag_max + 1e-11) if dt == jnp.float64 \
+                else (1e-7 * diag_max + 1e-8)
+            LD, LM = btd_factor(D + reg * eye_b[None], O)
 
-    def body(st: _St):
-        s1, z2, z3, z4, dh_d, da_d, dbox = kkt_diags(st)
+            def kkt_solve(r):
+                return btd_solve(LD, LM, r.reshape(nb, bsz)).reshape(n)
+
+            return kkt_solve
+
         K = P + jnp.diag(dbox)
         if mh:
             K = K + (Jh.T * dh_d[None, :]) @ Jh
         if ma:
             K = K + (Ja.T * da_d[None, :]) @ Ja
-        # relative regularization: keeps the Cholesky PD through the late
-        # barrier stages where D-blocks span ~12 decades
         reg = 1e-12 * jnp.max(jnp.diag(K)) + 1e-11 if dt == jnp.float64 \
             else 1e-7 * jnp.max(jnp.diag(K)) + 1e-8
         Ksym = 0.5 * (K + K.T)
         if use_btd:
-            from .btridiag import blocks_from_dense, btd_factor, btd_solve
-            nb = n // bsz
-            Db, Ob = blocks_from_dense(Ksym, nb, bsz)
+            Db, Ob = blocks_from_dense(Ksym, n // bsz, bsz)
             Db = Db + reg * jnp.eye(bsz, dtype=dt)[None]
             LD, LM = btd_factor(Db, Ob)
 
             def kkt_solve(r):
-                return btd_solve(LD, LM, r.reshape(nb, bsz)).reshape(n)
-        else:
-            L = jnp.linalg.cholesky(Ksym + reg * jnp.eye(n, dtype=dt))
-            Linv = jax.scipy.linalg.solve_triangular(
-                L, jnp.eye(n, dtype=dt), lower=True)
-            Kinv = Linv.T @ Linv
+                return btd_solve(LD, LM, r.reshape(n // bsz, bsz)).reshape(n)
 
-            def kkt_solve(r):
-                return Kinv @ r
+            return kkt_solve
+
+        L = jnp.linalg.cholesky(Ksym + reg * jnp.eye(n, dtype=dt))
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=dt), lower=True)
+        Kinv = Linv.T @ Linv
+
+        def kkt_solve(r):
+            return Kinv @ r
+
+        return kkt_solve
+
+    def body(st: _St):
+        s1, z2, z3, z4, dh_d, da_d, dbox = kkt_diags(st)
+        kkt_solve = make_kkt_solve(dh_d, da_d, dbox)
 
         rdx, re = residuals(st.dx, st.h, st.p, st.nn, st.z1, st.y,
                             st.z5, st.z6)
@@ -360,14 +458,14 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         # (the OSQP criterion the reference configures,
         # osqp_interface.cpp:78-90)
         rdx1, re1 = residuals(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1)
-        mu1 = mu_of(z1_1, h1 - (Jh @ dx1 + eh) if mh else h1, h1,
+        mu1 = mu_of(z1_1, h1 - (jh_mv(dx1) + eh) if mh else h1, h1,
                     p1, nn1, y1, dx1, z5_1, z6_1)
         rp_u = jnp.max(jnp.abs(re1), initial=jnp.asarray(0.0, dt))
         rd_u = jnp.max(jnp.abs(rdx1)) / c
         gap_u = (n_pairs * mu1) / c
         d_scale = jnp.maximum(jnp.max(jnp.abs(P @ dx1)),
                               jnp.max(jnp.abs(q))) / c
-        p_scale = (jnp.maximum(jnp.max(jnp.abs(Ja @ dx1)),
+        p_scale = (jnp.maximum(jnp.max(jnp.abs(ja_mv(dx1))),
                                jnp.max(jnp.abs(ea)))
                    if ma else jnp.asarray(0.0, dt))
         f_scale = jnp.maximum(jnp.abs(f1), jnp.abs(f_zero)) + 1.0

@@ -50,14 +50,21 @@ from .qp import (
 class ProxQPData(NamedTuple):
     P: jax.Array  # (n, n)
     q: jax.Array  # (n,)
-    A_h: jax.Array  # (m_h, n) hinge rows
+    A_h: jax.Array  # (m_h, n) hinge rows; None when rows are banded
     e_h: jax.Array  # (m_h,)
     w_h: jax.Array  # (m_h,) hinge weights (>=0)
-    A_a: jax.Array  # (m_a, n) abs rows
+    A_a: jax.Array  # (m_a, n) abs rows; None when rows are banded
     e_a: jax.Array  # (m_a,)
     w_a: jax.Array  # (m_a,)
     lb: jax.Array  # (n,)
     ub: jax.Array  # (n,)
+    # banded row windows (ops.banded_rows group format) — set with
+    # A_h/A_a = None.  Only ops.ipm_qp consumes these; the ADMM paths
+    # require dense rows.
+    Bh: tuple = ()  # tuple of (n_g, r, 2b) window blocks
+    Gh: tuple = ()  # tuple of (n_g,) int32 window start blocks
+    Ba: tuple = ()
+    Ga: tuple = ()
 
 
 class ProxQPSolution(NamedTuple):

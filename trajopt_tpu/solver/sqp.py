@@ -74,6 +74,9 @@ class _Plan:
     # (one-term-per-step/gap hatching, problem_description.cpp:1726)
     entries: tuple  # per cnt_idx: (entry_start, n_groups)
     n_entries: int
+    # every hinge/abs/constraint term provides a banded-window Jacobian
+    # (ops.banded_rows) — the QP can skip the dense (m, n) row matrix
+    all_rows_banded: bool = False
 
 
 def _plan(spec: ProblemSpec) -> _Plan:
@@ -114,8 +117,12 @@ def _plan(spec: ProblemSpec) -> _Plan:
     for t in spec.cnt_terms:
         entries.append((e, t.viol_groups))
         e += t.viol_groups
+    row_terms = [t for _, t, _ in hin] + [t for _, t, _ in ineq] + \
+        [t for _, t, _ in ab] + [t for _, t, _ in eq]
+    all_banded = all(t.jac_banded_fn is not None for t in row_terms)
     return _Plan(spec, tuple(sq), tuple(gen), tuple(hin), tuple(ineq),
-                 tuple(ab), tuple(eq), m_sq, m_h, m_a, tuple(entries), e)
+                 tuple(ab), tuple(eq), m_sq, m_h, m_a, tuple(entries), e,
+                 all_banded)
 
 
 # --------------------------------------------------------------------------
@@ -130,14 +137,19 @@ class _Cvx(NamedTuple):
     J_sq: jax.Array  # (m_sq, n_x)
     w_sq: jax.Array  # (m_sq,)
     err_h: jax.Array  # (m_h,)
-    J_h: jax.Array  # (m_h, n_x)
+    J_h: jax.Array  # (m_h, n_x); None on the banded-rows path
     w_h_cost: jax.Array  # (m_h,) cost weights; merit rows hold 1.0 here
     err_a: jax.Array  # (m_a,)
-    J_a: jax.Array  # (m_a, n_x)
+    J_a: jax.Array  # (m_a, n_x); None on the banded-rows path
     w_a_cost: jax.Array  # (m_a,)
     gen_f0: jax.Array  # (n_gen,)
     gen_g: jax.Array  # (n_gen, n_x)
     gen_H: jax.Array  # (n_gen, n_x, n_x) PSD-projected
+    # banded window blocks (ops.banded_rows group tuples); () when dense
+    bh: tuple = ()
+    gh: tuple = ()
+    ba: tuple = ()
+    ga: tuple = ()
 
 
 def _psd_project(H: jax.Array) -> jax.Array:
@@ -155,29 +167,57 @@ def _rows(blocks, n_rows_total, n_x, dtype):
     return jnp.concatenate(errs), jnp.concatenate(jacs), jnp.concatenate(ws)
 
 
-def _convexify(plan: _Plan, data: ProblemData, x: jax.Array) -> _Cvx:
+def _convexify(plan: _Plan, data: ProblemData, x: jax.Array,
+               banded_rows: bool = False) -> _Cvx:
     n_x = plan.spec.n_x
     dt = x.dtype
     sq_blocks, h_blocks, a_blocks = [], [], []
+    bh, gh, ba, ga = [], [], [], []
+
+    def _jac_or_banded(t, p, bands_B, bands_G):
+        if not banded_rows:
+            return t.jac(x, p)
+        out = t.jac_banded(x, p)
+        groups = out if isinstance(out, list) else [out]
+        for B, G in groups:
+            bands_B.append(B.astype(dt))
+            bands_G.append(jnp.asarray(G, jnp.int32))
+        return None
+
     for i, t, _ in plan.sq:
         p = data.cost_params[i]
         sq_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
     for i, t, _ in plan.hin:
         p = data.cost_params[i]
-        h_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
+        h_blocks.append((t.err(x, p), _jac_or_banded(t, p, bh, gh),
+                         t.weights(p).astype(dt)))
     for j, t, _ in plan.ineq:
         p = data.cnt_params[j]
-        h_blocks.append((t.err(x, p), t.jac(x, p), jnp.ones((t.n_rows,), dt)))
+        h_blocks.append((t.err(x, p), _jac_or_banded(t, p, bh, gh),
+                         jnp.ones((t.n_rows,), dt)))
     for i, t, _ in plan.ab:
         p = data.cost_params[i]
-        a_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
+        a_blocks.append((t.err(x, p), _jac_or_banded(t, p, ba, ga),
+                         t.weights(p).astype(dt)))
     for j, t, _ in plan.eq:
         p = data.cnt_params[j]
-        a_blocks.append((t.err(x, p), t.jac(x, p), jnp.ones((t.n_rows,), dt)))
+        a_blocks.append((t.err(x, p), _jac_or_banded(t, p, ba, ga),
+                         jnp.ones((t.n_rows,), dt)))
 
     err_sq, J_sq, w_sq = _rows(sq_blocks, plan.m_sq, n_x, dt)
-    err_h, J_h, w_h = _rows(h_blocks, plan.m_h, n_x, dt)
-    err_a, J_a, w_a = _rows(a_blocks, plan.m_a, n_x, dt)
+    if banded_rows:
+        errs_h = [e for e, _, _ in h_blocks]
+        err_h = jnp.concatenate(errs_h) if errs_h else jnp.zeros((0,), dt)
+        ws_h = [w for _, _, w in h_blocks]
+        w_h = jnp.concatenate(ws_h) if ws_h else jnp.zeros((0,), dt)
+        errs_a = [e for e, _, _ in a_blocks]
+        err_a = jnp.concatenate(errs_a) if errs_a else jnp.zeros((0,), dt)
+        ws_a = [w for _, _, w in a_blocks]
+        w_a = jnp.concatenate(ws_a) if ws_a else jnp.zeros((0,), dt)
+        J_h = J_a = None
+    else:
+        err_h, J_h, w_h = _rows(h_blocks, plan.m_h, n_x, dt)
+        err_a, J_a, w_a = _rows(a_blocks, plan.m_a, n_x, dt)
 
     n_gen = len(plan.gen)
     if n_gen:
@@ -197,7 +237,8 @@ def _convexify(plan: _Plan, data: ProblemData, x: jax.Array) -> _Cvx:
         gen_H = jnp.zeros((0, n_x, n_x), dt)
 
     return _Cvx(err_sq, J_sq, w_sq, err_h, J_h, w_h, err_a, J_a, w_a,
-                gen_f0, gen_g, gen_H)
+                gen_f0, gen_g, gen_H,
+                tuple(bh), tuple(gh), tuple(ba), tuple(ga))
 
 
 def _merit_row_weights(plan: _Plan, cvx: _Cvx, merit: jax.Array):
@@ -240,7 +281,8 @@ def _assemble_qp(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
     lx = jnp.maximum(lb, x - box) - x
     ux = jnp.minimum(ub, x + box) - x
     return ProxQPData(P=Px, q=qx, A_h=cvx.J_h, e_h=cvx.err_h, w_h=w_h,
-                      A_a=cvx.J_a, e_a=cvx.err_a, w_a=w_a, lb=lx, ub=ux)
+                      A_a=cvx.J_a, e_a=cvx.err_a, w_a=w_a, lb=lx, ub=ux,
+                      Bh=cvx.bh, Gh=cvx.gh, Ba=cvx.ba, Ga=cvx.ga)
 
 
 # --------------------------------------------------------------------------
@@ -257,8 +299,14 @@ def _model_values(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
     viols = jnp.zeros((plan.n_entries,), dt)
 
     r_sq = cvx.err_sq + cvx.J_sq @ dx
-    r_h = cvx.err_h + cvx.J_h @ dx
-    r_a = cvx.err_a + cvx.J_a @ dx
+    if cvx.J_h is None:  # banded-rows path
+        from ..ops.banded_rows import bb_mv
+        b = plan.spec.n_cols
+        r_h = cvx.err_h + bb_mv(cvx.bh, cvx.gh, dx, b)
+        r_a = cvx.err_a + bb_mv(cvx.ba, cvx.ga, dx, b)
+    else:
+        r_h = cvx.err_h + cvx.J_h @ dx
+        r_a = cvx.err_a + cvx.J_a @ dx
 
     for i, t, s in plan.sq:
         rows = jax.lax.dynamic_slice(r_sq, (s,), (t.n_rows,))
@@ -386,8 +434,15 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     def cond(st: _State):
         return (st.status == RUNNING) & (st.n_qp < p.max_total_qp_solves)
 
+    # banded-rows path: skip the dense (m, n) Jacobian entirely when every
+    # row term provides window blocks and the IPM + block-tridiagonal
+    # factorization are in play (the dense row matrix dominates HBM traffic
+    # at flagship shapes)
+    banded_rows = (plan.all_rows_banded and p.qp.solver == "ipm"
+                   and p.qp.kkt_block > 0 and _bandable(spec))
+
     def body(st: _State) -> _State:
-        cvx = _convexify(plan, data, st.x)
+        cvx = _convexify(plan, data, st.x, banded_rows=banded_rows)
         w_h, w_a = _merit_row_weights(plan, cvx, st.merit)
         qp_data = _assemble_qp(plan, cvx, w_h, w_a, st.x, st.box,
                                data.lb, data.ub)

@@ -82,6 +82,14 @@ class Term:
     # condensed KKT matrix is block-tridiagonal and the solver uses the
     # scan-based block Cholesky (ops.btridiag) instead of a dense one.
     step_coupling: Optional[int] = None
+    # banded Jacobian: ``jac_banded_fn(x, params) -> (B, G)`` in the
+    # ops.banded_rows group format — B (n_groups, rows_per_group, 2*n_cols)
+    # window values in the same row order as ``fn``, G (n_groups,) int32
+    # window start blocks.  When every hinge/abs/constraint term of a
+    # problem provides this, the QP never materializes a dense (m, n)
+    # Jacobian (the flagship's dense row matrix is ~15x its nonzeros and
+    # dominates HBM traffic otherwise).
+    jac_banded_fn: Optional[Callable[[jax.Array, Any], Any]] = None
 
     @property
     def is_cost(self) -> bool:
@@ -105,6 +113,13 @@ class Term:
         return jnp.reshape(
             jax.jacfwd(lambda xx: self.err(xx, params))(x), (self.n_rows, x.shape[0])
         )
+
+    def jac_banded(self, x: jax.Array, params: Any):
+        """Banded-window linearization (see jac_banded_fn); None if the
+        term has no banded form."""
+        if self.jac_banded_fn is None:
+            return None
+        return self.jac_banded_fn(x, params)
 
     def value(self, x: jax.Array, params: Any) -> jax.Array:
         """Exact cost value (reference Cost::value semantics)."""
@@ -140,21 +155,21 @@ class Term:
 
 
 def squared_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
-                 step_coupling=None) -> Term:
+                 step_coupling=None, jac_banded_fn=None) -> Term:
     return Term(name, TermKind.SQUARED, n_rows, fn, weight_fn, jac_fn,
-                step_coupling=step_coupling)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)
 
 
 def abs_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
-             step_coupling=None) -> Term:
+             step_coupling=None, jac_banded_fn=None) -> Term:
     return Term(name, TermKind.ABS, n_rows, fn, weight_fn, jac_fn,
-                step_coupling=step_coupling)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)
 
 
 def hinge_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
-               step_coupling=None) -> Term:
+               step_coupling=None, jac_banded_fn=None) -> Term:
     return Term(name, TermKind.HINGE, n_rows, fn, weight_fn, jac_fn,
-                step_coupling=step_coupling)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)
 
 
 def generic_cost(name, fn) -> Term:
@@ -163,12 +178,12 @@ def generic_cost(name, fn) -> Term:
 
 
 def eq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1,
-                  step_coupling=None) -> Term:
+                  step_coupling=None, jac_banded_fn=None) -> Term:
     return Term(name, TermKind.EQ, n_rows, fn, None, jac_fn, viol_groups,
-                step_coupling=step_coupling)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)
 
 
 def ineq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1,
-                    step_coupling=None) -> Term:
+                    step_coupling=None, jac_banded_fn=None) -> Term:
     return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn, viol_groups,
-                step_coupling=step_coupling)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)

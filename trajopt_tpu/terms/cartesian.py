@@ -180,25 +180,34 @@ def upright_term(
         c = jnp.broadcast_to(jnp.asarray(p["coeffs"], x.dtype), (2,))
         return (zaxes * c[None, :]).reshape(-1)
 
-    def jac_fn(x, p):
-        """Per-step differentiation (n_dof tangents per step, banded
-        scatter) — rows at step t depend only on q_t."""
+    def _jac_steps(x, p):
         import jax
         X = x.reshape(n_steps, n_dof)[first_step:last + 1]
         c = jnp.broadcast_to(jnp.asarray(p["coeffs"], x.dtype), (2,))
-        Js = jax.vmap(jax.jacfwd(
+        return jax.vmap(jax.jacfwd(
             lambda q: chain.fk(q)[0][li][:2, 2] * c))(X)  # (span, 2, D)
+
+    def jac_fn(x, p):
+        """Per-step differentiation (n_dof tangents per step, banded
+        scatter) — rows at step t depend only on q_t."""
+        Js = _jac_steps(x, p)
         J = jnp.zeros((span, 2, n_steps, n_dof), x.dtype)
         s = jnp.arange(span)
         J = J.at[s, :, first_step + s, :].set(Js)
         return J.reshape(2 * span, n_steps * n_dof)
 
+    def jac_banded_fn(x, p):
+        from ..ops.banded_rows import step_window
+        return step_window(_jac_steps(x, p),
+                           first_step + jnp.arange(span), n_steps)
+
     n = 2 * span
     if is_constraint:
         # per-step groups: the reference hatches one pose term per timestep
         return eq_constraint(name, n, fn, jac_fn=jac_fn, viol_groups=span,
-                             step_coupling=0)
-    return squared_cost(name, n, fn, jac_fn=jac_fn, step_coupling=0)
+                             step_coupling=0, jac_banded_fn=jac_banded_fn)
+    return squared_cost(name, n, fn, jac_fn=jac_fn, step_coupling=0,
+                        jac_banded_fn=jac_banded_fn)
 
 
 def cart_vel_term(

@@ -60,34 +60,48 @@ def discrete_collision_term(
         w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
         return jnp.tile(w, span)
 
+    def _jac_steps(x, p, cf=None):
+        X = x.reshape(n_steps, nc)
+        Q = X[first_step:last + 1, :n_dof]
+        Js = jax.vmap(jax.jacfwd(world.pair_distances))(Q)  # (span, P, D)
+        if cf is not None:
+            Js = Js * cf(p)[None, :, None]
+        if nc != n_dof:  # pad the inv-dt column (no collision dependence)
+            Js = jnp.concatenate(
+                [Js, jnp.zeros((span, P, nc - n_dof), x.dtype)], axis=-1)
+        return -Js
+
     def jac_fn(x, p, cf=None):
         """Structure-aware Jacobian: each row block depends on ONE step's
         n_dof joints, so differentiate per-step (n_dof tangents) and scatter
         into the banded (span*P, n_x) layout instead of pushing n_x tangents
         through the whole FK/SDF stack (a ~n_steps x convexification
         speedup; the band structure is SURVEY.md §5.7(a))."""
-        X = x.reshape(n_steps, nc)
-        Q = X[first_step:last + 1, :n_dof]
-        Js = jax.vmap(jax.jacfwd(world.pair_distances))(Q)  # (span, P, D)
-        if cf is not None:
-            Js = Js * cf(p)[None, :, None]
+        Js = _jac_steps(x, p, cf)
         J = jnp.zeros((span, P, n_steps, nc), x.dtype)
         sidx = jnp.arange(span)
-        J = J.at[sidx, :, first_step + sidx, :n_dof].set(-Js)
+        J = J.at[sidx, :, first_step + sidx, :].set(Js)
         return J.reshape(span * P, n_steps * nc)
+
+    def jac_banded_fn(x, p, cf=None):
+        from ..ops.banded_rows import step_window
+        return step_window(_jac_steps(x, p, cf),
+                           first_step + jnp.arange(span), n_steps)
 
     if is_constraint:
         def cfn(x, p):
             w = _bcast(p["coeffs"], P, x.dtype)
             return fn(x, p) * jnp.tile(w, span)
+        ccf = lambda pp, x: _bcast(pp["coeffs"], P, x.dtype)
         return ineq_constraint(
             name, n, cfn,
-            jac_fn=lambda x, p: jac_fn(
-                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)),
+            jac_fn=lambda x, p: jac_fn(x, p, cf=lambda pp: ccf(pp, x)),
             viol_groups=span,  # one reference constraint per timestep
-            step_coupling=0)
+            step_coupling=0,
+            jac_banded_fn=lambda x, p: jac_banded_fn(
+                x, p, cf=lambda pp: ccf(pp, x)))
     return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn,
-                      step_coupling=0)
+                      step_coupling=0, jac_banded_fn=jac_banded_fn)
 
 
 def cast_collision_term(
@@ -129,6 +143,14 @@ def cast_collision_term(
         split between the gap endpoints is autodiff through the
         interpolation (the reference's cc_time weighting,
         collision_terms.cpp:262-323)."""
+        Ja_, Jb_ = _jac_gaps(x, p, cf)
+        J = jnp.zeros((n_gaps, P, n_steps, nc), x.dtype)
+        g = jnp.arange(n_gaps)
+        J = J.at[g, :, first_step + g, :n_dof].set(Ja_[..., :n_dof])
+        J = J.at[g, :, first_step + 1 + g, :n_dof].set(Jb_[..., :n_dof])
+        return J.reshape(n_gaps * P, n_steps * nc)
+
+    def _jac_gaps(x, p, cf=None):
         X = x.reshape(n_steps, nc)
         Q = X[:, :n_dof]
         qa = Q[first_step:last]
@@ -141,24 +163,31 @@ def cast_collision_term(
             w = cf(p)
             Ja_ = Ja_ * w[None, :, None]
             Jb_ = Jb_ * w[None, :, None]
-        J = jnp.zeros((n_gaps, P, n_steps, nc), x.dtype)
-        g = jnp.arange(n_gaps)
-        J = J.at[g, :, first_step + g, :n_dof].set(-Ja_)
-        J = J.at[g, :, first_step + 1 + g, :n_dof].set(-Jb_)
-        return J.reshape(n_gaps * P, n_steps * nc)
+        if nc != n_dof:  # pad the inv-dt column (no collision dependence)
+            z = jnp.zeros((n_gaps, P, nc - n_dof), x.dtype)
+            Ja_ = jnp.concatenate([Ja_, z], axis=-1)
+            Jb_ = jnp.concatenate([Jb_, z], axis=-1)
+        return -Ja_, -Jb_
+
+    def jac_banded_fn(x, p, cf=None):
+        Ja_, Jb_ = _jac_gaps(x, p, cf)
+        B = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, P, 2*nc)
+        return B, first_step + jnp.arange(n_gaps, dtype=jnp.int32)
 
     if is_constraint:
         def cfn(x, p):
             w = _bcast(p["coeffs"], P, x.dtype)
             return fn(x, p) * jnp.tile(w, n_gaps)
+        ccf = lambda pp, x: _bcast(pp["coeffs"], P, x.dtype)
         return ineq_constraint(
             name, n, cfn,
-            jac_fn=lambda x, p: jac_fn(
-                x, p, cf=lambda pp: _bcast(pp["coeffs"], P, x.dtype)),
+            jac_fn=lambda x, p: jac_fn(x, p, cf=lambda pp: ccf(pp, x)),
             viol_groups=n_gaps,  # one reference constraint per step gap
-            step_coupling=1)
+            step_coupling=1,
+            jac_banded_fn=lambda x, p: jac_banded_fn(
+                x, p, cf=lambda pp: ccf(pp, x)))
     return hinge_cost(name, n, fn, weight_fn=wf, jac_fn=jac_fn,
-                      step_coupling=1)
+                      step_coupling=1, jac_banded_fn=jac_banded_fn)
 
 
 def trajectory_in_collision(world: CollisionWorld, X: jax.Array,

@@ -107,6 +107,36 @@ def _stencil_jac(n_steps, n_dof, first, last, order, n_cols=None):
     return jnp.asarray(J.reshape(span * n_dof, n_steps * nc))
 
 
+
+
+def _stencil_banded(n_steps, n_dof, first, last, order, n_cols=None):
+    """Static banded window blocks for order<=1 stencils (ops.banded_rows
+    format): (B0 (span, n_dof, 2*nc), G (span,)).  Returns None for wider
+    stencils (acc/jerk need a >2-block window)."""
+    if order > 1:
+        return None
+    nc = n_cols or n_dof
+    span = last - order - first + 1
+    coefs = _stencil(order)
+    B0 = np.zeros((span, n_dof, 2 * nc))
+    if order == 0:
+        steps = first + np.arange(span)
+        G = np.minimum(steps, n_steps - 2)
+        off = steps - G
+        for s in range(span):
+            for d in range(n_dof):
+                B0[s, d, off[s] * nc + d] = coefs[0]
+    else:
+        G = first + np.arange(span)
+        for s in range(span):
+            for d in range(n_dof):
+                B0[s, d, d] = coefs[0]
+                B0[s, d, nc + d] = coefs[1]
+    return B0, np.asarray(G, np.int32)
+
+
+
+
 def joint_motion_term(
     name: str,
     order: int,
@@ -128,43 +158,66 @@ def joint_motion_term(
     assert span >= 1, f"{name}: trajectory too short for order {order}"
     n = span * n_dof
     S = _stencil_jac(n_steps, n_dof, first_step, last, order, n_cols)
+    banded = _stencil_banded(n_steps, n_dof, first_step, last, order, n_cols)
+    if banded is not None and n_steps >= 2:
+        B0_np, G_np = banded
+    else:
+        B0_np = None
+
+    def _wvec(p, dt):
+        return jnp.broadcast_to(jnp.asarray(p["coeffs"], dt),
+                                (span, n_dof))
 
     if not toleranced:
         fn = _eq_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
         if is_constraint:
             # constraint rows are coeff-scaled (reference folds coeffs in)
             def cfn(x, p, base=fn):
-                w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
-                                     (span, n_dof)).reshape(-1)
-                return base(x, p) * w
+                return base(x, p) * _wvec(p, x.dtype).reshape(-1)
             def cjac(x, p):
-                w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
-                                     (span, n_dof)).reshape(-1)
+                w = _wvec(p, x.dtype).reshape(-1)
                 return w[:, None] * S.astype(x.dtype)
+            jb = None
+            if B0_np is not None:
+                def jb(x, p):
+                    B = jnp.asarray(B0_np, x.dtype) * _wvec(p, x.dtype)[..., None]
+                    return B, jnp.asarray(G_np)
             return eq_constraint(name, n, cfn, jac_fn=cjac,
-                                 step_coupling=order)
+                                 step_coupling=order, jac_banded_fn=jb)
+        jb = None
+        if B0_np is not None:
+            def jb(x, p):
+                return jnp.asarray(B0_np, x.dtype), jnp.asarray(G_np)
         return squared_cost(name, n, fn, weight_fn=_weight_fn(span, n_dof),
                             jac_fn=lambda x, p: S.astype(x.dtype),
-                            step_coupling=order)
+                            step_coupling=order, jac_banded_fn=jb)
 
     fn = _tol_err_fn(n_steps, n_dof, first_step, last, order, n_cols)
     # tolerance rows are [v - t - up; t + lo - v] => jac = [S; -S]
     S2 = jnp.concatenate([S, -S])
     if is_constraint:
         def cfn(x, p, base=fn):
-            w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
-                                 (span, n_dof)).reshape(-1)
+            w = _wvec(p, x.dtype).reshape(-1)
             return base(x, p) * jnp.concatenate([w, w])
         def cjac2(x, p):
-            w = jnp.broadcast_to(jnp.asarray(p["coeffs"]),
-                                 (span, n_dof)).reshape(-1)
+            w = _wvec(p, x.dtype).reshape(-1)
             return jnp.concatenate([w, w])[:, None] * S2.astype(x.dtype)
+        jb = None
+        if B0_np is not None:
+            def jb(x, p):
+                B = jnp.asarray(B0_np, x.dtype) * _wvec(p, x.dtype)[..., None]
+                return [(B, jnp.asarray(G_np)), (-B, jnp.asarray(G_np))]
         return ineq_constraint(name, 2 * n, cfn, jac_fn=cjac2,
-                               step_coupling=order)
+                               step_coupling=order, jac_banded_fn=jb)
+    jb = None
+    if B0_np is not None:
+        def jb(x, p):
+            B = jnp.asarray(B0_np, x.dtype)
+            return [(B, jnp.asarray(G_np)), (-B, jnp.asarray(G_np))]
     return hinge_cost(name, 2 * n, fn,
                       weight_fn=_weight_fn(span, n_dof, doubled=True),
                       jac_fn=lambda x, p: S2.astype(x.dtype),
-                      step_coupling=order)
+                      step_coupling=order, jac_banded_fn=jb)
 
 
 def joint_pos_term(name, n_steps, n_dof, **kw) -> Term:
