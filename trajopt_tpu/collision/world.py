@@ -91,6 +91,40 @@ class CollisionWorld:
         return tuple(
             (self.geoms[i].name, self.geoms[j].name) for i, j in self.pairs)
 
+    def pair_link_names(self):
+        """Per-pair (link_name_i, link_name_j) — geometry names are
+        "link/idx"; this strips the geometry index."""
+        return tuple((a.split("/")[0], b.split("/")[0])
+                     for a, b in self.pair_names())
+
+    def pair_value_array(self, default, per_pair: Optional[dict] = None,
+                         dtype=np.float64) -> np.ndarray:
+        """(n_pairs,) array from a default + link-pair-name overrides.
+
+        ``per_pair`` maps ("linkA", "linkB") (order-insensitive) or the
+        string "linkA,linkB" to a value — the reference's
+        ``CollisionCoeffData`` default + per-link-pair override
+        (trajopt_common/collision_types.h:124-163).  Unknown link pairs
+        raise (typos must not silently no-op).
+        """
+        out = np.full(self.n_pairs, float(default), dtype)
+        if not per_pair:
+            return out
+        names = self.pair_link_names()
+        keyed = {tuple(sorted(k.split(",") if isinstance(k, str) else k)): v
+                 for k, v in per_pair.items()}
+        known = {tuple(sorted(nm)) for nm in names}
+        unknown = set(keyed) - known
+        if unknown:
+            raise ValueError(
+                f"per-pair collision override names unknown pairs {sorted(unknown)};"
+                f" known link pairs: {sorted(known)}")
+        for k, (a, b) in enumerate(names):
+            v = keyed.get(tuple(sorted((a, b))))
+            if v is not None:
+                out[k] = float(v)
+        return out
+
     # ---------------- world-space canonical geometry, batched ----------------
 
     def _world_kind_arrays(self, R, p, dt):

@@ -97,7 +97,7 @@ def _opt_params(opt: dict) -> SQPParams:
               "min_approx_improve", "min_approx_improve_frac",
               "trust_shrink_ratio", "trust_expand_ratio", "cnt_tolerance",
               "merit_coeff_increase_ratio", "initial_merit_error_coeff",
-              "trust_box_size"):
+              "trust_box_size", "max_time"):
         if k in opt:
             kw[k] = float(opt[k])
     for k in ("max_iter", "max_merit_coeff_increases", "max_qp_solver_failures"):
@@ -147,6 +147,29 @@ def load_problem(doc: dict | str, chain: Chain,
         b.fix_timestep(int(s))
     for d in basic.get("fixed_dofs", []):
         b.fix_dof(int(d))
+
+    # init trajectory parsed BEFORE terms: LVS collision terms derive their
+    # static substate count from the init motion (see the collision branch)
+    init = doc.get("init_info", {"type": "stationary"})
+    # strict unknown-field rejection (ensure_only_members,
+    # problem_description.cpp:32-51) — typos must not silently no-op
+    _only(init, {"type", "data", "endpoint", "dt"}, "init_info")
+    itype = init.get("type", "stationary")
+    init_dt = float(init.get("dt", 0.1))
+    if itype == "given_traj":
+        X0 = jnp.asarray(np.asarray(init["data"], dtype=np.float64))
+        if X0.shape not in ((T, D), (T, NC)):
+            raise ValueError(f"init data shape {X0.shape} != {(T, D)}")
+    elif itype == "joint_interpolated":
+        q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
+        X0 = interpolated_init(q0, jnp.asarray(init["endpoint"]), T)
+    else:  # stationary
+        q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
+        X0 = stationary_init(q0, T)
+    # largest joint-space step motion of the init trajectory (for LVS)
+    X0np = np.asarray(X0, dtype=np.float64)[:, :D]
+    max_step_dist = float(np.max(np.linalg.norm(np.diff(X0np, axis=0),
+                                                axis=1))) if T > 1 else 0.0
 
     def add_term(entry: dict, is_constraint: bool, idx: int):
         ttype = entry["type"]
@@ -251,13 +274,29 @@ def load_problem(doc: dict | str, chain: Chain,
             _only(params, {"coeffs", "dist_pen", "evaluator_type",
                            "fixed_steps", "first_step", "last_step",
                            "longest_valid_segment_length", "use_weighted_sum",
-                           "contact_test_type"}, ttype)
+                           "contact_test_type", "pair_coeffs", "pair_margins"},
+                  ttype)
             ev = int(params.get("evaluator_type", 1))
             first = int(params.get("first_step", 0))
             last = int(params.get("last_step", T - 1))
             coeffs = float(np.atleast_1d(params.get("coeffs", 20.0))[0])
             # reference configs write dist_pen as a one-element list
             margin = float(np.atleast_1d(params.get("dist_pen", 0.025))[0])
+            weighted = _bool(params.get("use_weighted_sum", False),
+                             f"{ttype}.use_weighted_sum")
+            # per-link-pair overrides (CollisionCoeffData default +
+            # per-pair values, collision_types.h:124-163)
+            margins_arr = world.pair_value_array(
+                margin, params.get("pair_margins"))
+            coeffs_arr = world.pair_value_array(
+                coeffs, params.get("pair_coeffs"))
+            if weighted and (params.get("pair_coeffs")
+                             or params.get("pair_margins")):
+                raise ValueError(
+                    f"{ttype}: use_weighted_sum aggregates pairs into one "
+                    "row per step; per-pair overrides cannot apply")
+            pair_p = {"margins": jnp.asarray(margins_arr),
+                      "coeffs": jnp.asarray(coeffs_arr)}
             # "fixed_steps" marks steps whose variables are pinned
             # (collision contacts on those ends are filtered in the
             # reference, collision_terms.cpp:558-600).  Here fixed steps are
@@ -266,13 +305,26 @@ def load_problem(doc: dict | str, chain: Chain,
             if ev <= 1 or T == 1:  # DISCRETE (or single step)
                 term = discrete_collision_term(
                     name, world, T, first_step=first, last_step=last,
-                    is_constraint=is_constraint, n_cols=NC)
+                    is_constraint=is_constraint, n_cols=NC,
+                    weighted=weighted)
             else:  # LVS_DISCRETE / CONTINUOUS / LVS_CONTINUOUS -> swept
+                # longest_valid_segment_length sets the substate count:
+                # the reference interpolates ceil(dist/lvs)+1 substates per
+                # gap (continuous_collision_evaluators.cpp:205-240); static
+                # shapes need one per-problem bound, so size it from the
+                # init trajectory's largest step motion (callers can widen
+                # via the n_sub argument, which acts as a floor)
+                lvs = params.get("longest_valid_segment_length")
+                n_sub_t = n_sub
+                if lvs is not None:
+                    n_sub_t = max(n_sub,
+                                  min(int(np.ceil(max_step_dist / float(lvs)))
+                                      + 1, 64))
                 term = cast_collision_term(
                     name, world, T, first_step=first, last_step=last,
-                    n_sub=n_sub, is_constraint=is_constraint, n_cols=NC)
-            return term, {"margins": jnp.asarray(margin),
-                          "coeffs": jnp.asarray(coeffs)}
+                    n_sub=n_sub_t, is_constraint=is_constraint, n_cols=NC,
+                    weighted=weighted)
+            return term, pair_p
 
         raise ValueError(f"unsupported term type: {ttype}")
 
@@ -282,23 +334,6 @@ def load_problem(doc: dict | str, chain: Chain,
     for i, c in enumerate(doc.get("constraints", [])):
         term, p = add_term(c, is_constraint=True, idx=i)
         b.add_constraint(term, p)
-
-    init = doc.get("init_info", {"type": "stationary"})
-    # strict unknown-field rejection (ensure_only_members,
-    # problem_description.cpp:32-51) — typos must not silently no-op
-    _only(init, {"type", "data", "endpoint", "dt"}, "init_info")
-    itype = init.get("type", "stationary")
-    init_dt = float(init.get("dt", 0.1))
-    if itype == "given_traj":
-        X0 = jnp.asarray(np.asarray(init["data"], dtype=np.float64))
-        if X0.shape not in ((T, D), (T, NC)):
-            raise ValueError(f"init data shape {X0.shape} != {(T, D)}")
-    elif itype == "joint_interpolated":
-        q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
-        X0 = interpolated_init(q0, jnp.asarray(init["endpoint"]), T)
-    else:  # stationary
-        q0 = jnp.zeros(D) if "data" not in init else jnp.asarray(init["data"])
-        X0 = stationary_init(q0, T)
 
     spec, data = b.build(X0, init_dt=init_dt)
     params = _opt_params(doc.get("opt_info", {}))

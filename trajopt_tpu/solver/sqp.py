@@ -42,6 +42,7 @@ from .types import (
     PENALTY_ITERATION_LIMIT,
     RUNNING,
     SCO_ITERATION_LIMIT,
+    TIME_LIMIT,
     ProblemData,
     ProblemSpec,
     SQPParams,
@@ -370,6 +371,7 @@ class _State(NamedTuple):
     warm_dx: jax.Array
     warm_y: jax.Array
     hist: jax.Array
+    t_wall0: jax.Array  # host clock at first iteration (max_time only)
 
 
 def solve(spec: ProblemSpec, data: ProblemData,
@@ -429,6 +431,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         warm_dx=jnp.zeros((n_qp,), dt),
         warm_y=jnp.zeros((m_qp,), dt),
         hist=jnp.zeros((p.record_history, 10), dt),
+        t_wall0=jnp.float32(0.0),
     )
 
     def cond(st: _State):
@@ -548,6 +551,24 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
             box1)
         it2 = jnp.where(pa_cont, jnp.int32(0), it1)
 
+        t_wall1 = st.t_wall0
+        if p.max_time != float("inf"):
+            # reference wall-clock cutoff (optimizers.cpp:735); host clock
+            # via io_callback — single-instance solves, like p.callback
+            import time as _time
+
+            import numpy as _np
+            from jax.experimental import io_callback
+
+            t_ref = _time.monotonic()  # keep the f32 clock small-valued
+            now = io_callback(
+                lambda: _np.float32(_time.monotonic() - t_ref),
+                jax.ShapeDtypeStruct((), jnp.float32), ordered=True)
+            t_wall1 = jnp.where(st.n_qp == 0, now, st.t_wall0)
+            status2 = jnp.where(
+                (status2 == RUNNING) & (now - t_wall1 > p.max_time),
+                jnp.int32(TIME_LIMIT), status2)
+
         if p.callback is not None:
             import numpy as _np
             from jax.experimental import io_callback
@@ -581,7 +602,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
             it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
             n_qp=st.n_qp + 1, n_admm=st.n_admm + sol.iters,
             n_fev=st.n_fev + 1, status=status2,
-            warm_dx=sol.u, warm_y=sol.y, hist=hist,
+            warm_dx=sol.u, warm_y=sol.y, hist=hist, t_wall0=t_wall1,
         )
 
     st = jax.lax.while_loop(cond, body, st0)

@@ -23,6 +23,7 @@ SCO_ITERATION_LIMIT = 2
 PENALTY_ITERATION_LIMIT = 3
 FAILED = 4
 STOPPED_BY_CALLBACK = 5  # modern stack's kStoppedByCallback (types.h:216-225)
+TIME_LIMIT = 6  # reference OPT_TIME_LIMIT (optimizers.hpp:25-33)
 
 STATUS_NAMES = {
     RUNNING: "RUNNING",
@@ -31,6 +32,7 @@ STATUS_NAMES = {
     PENALTY_ITERATION_LIMIT: "OPT_PENALTY_ITERATION_LIMIT",
     FAILED: "OPT_FAILED",
     STOPPED_BY_CALLBACK: "OPT_STOPPED_BY_CALLBACK",
+    TIME_LIMIT: "OPT_TIME_LIMIT",
 }
 
 _NEG_INF = float("-inf")
@@ -61,6 +63,13 @@ class SQPParams:
     # device-loop safety cap on total QP solves (the reference caps via
     # max_iter per penalty round + bounded trust shrinks; this is a backstop)
     max_total_qp_solves: int = 3000
+    # wall-clock limit in seconds (reference max_time enforcement,
+    # optimizers.cpp:735 -> OPT_TIME_LIMIT).  Enforced via a host clock
+    # callback each iteration, so — like ``callback`` — it applies to
+    # single-instance solves only (batched solves should bound work with
+    # max_total_qp_solves instead; a host round-trip per batched device
+    # iteration would serialize the whole batch on the host).
+    max_time: float = float("inf")
     # >0 allocates an on-device iteration-history buffer of that many rows
     # (the analog of the reference's trajopt_solver.log CSV stream,
     # optimizers.cpp:703-713); see HISTORY_FIELDS.

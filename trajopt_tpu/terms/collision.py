@@ -34,6 +34,19 @@ def _bcast(v, n, dtype):
     return jnp.broadcast_to(jnp.asarray(v, dtype), (n,))
 
 
+def _weighted_rows(errs, Js):
+    """Error-weighted average of per-pair gradients (the reference's
+    weighted-average contact aggregation, trajopt_ifopt/src/constraints/
+    collision/weighted_average_methods.cpp:31-68): one row per step/gap
+    with err = max over pairs and grad = sum_p w_p grad_p / sum_p w_p,
+    w_p = max(err_p, 0) / max_err."""
+    max_err = jnp.max(errs, axis=1)  # (G,)
+    w = jnp.maximum(errs, 0.0) / jnp.maximum(max_err[:, None], 1e-12)
+    tot = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
+    Jrow = jnp.einsum("gp,gpw->gw", w, Js) / tot[:, None]
+    return max_err, Jrow
+
+
 def discrete_collision_term(
     name: str,
     world: CollisionWorld,
@@ -42,7 +55,11 @@ def discrete_collision_term(
     last_step: Optional[int] = None,
     is_constraint: bool = False,
     n_cols: Optional[int] = None,
+    weighted: bool = False,
 ) -> Term:
+    """``weighted=True`` aggregates all pairs of a step into ONE row via
+    error-weighted average gradients (reference use_weighted_sum,
+    collision_types.h:130-141 / weighted_average_methods.cpp)."""
     n_dof = world.chain.n_dof
     nc = n_cols or n_dof
     last = (n_steps - 1) if last_step is None else last_step
@@ -50,11 +67,14 @@ def discrete_collision_term(
     P = world.n_pairs
     n = span * P
 
-    def fn(x, p):
+    def _errs(x, p):
         X = x.reshape(n_steps, nc)[first_step:last + 1, :n_dof]
         dists = jax.vmap(world.pair_distances)(X)  # (span, P)
         margins = _bcast(p["margins"], P, x.dtype)
-        return (margins[None, :] - dists).reshape(-1)
+        return margins[None, :] - dists
+
+    def fn(x, p):
+        return _errs(x, p).reshape(-1)
 
     def wf(p):
         w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
@@ -88,6 +108,41 @@ def discrete_collision_term(
         return step_window(_jac_steps(x, p, cf),
                            first_step + jnp.arange(span), n_steps)
 
+    if weighted:
+        from ..ops.banded_rows import step_window
+
+        def wfn(x, p):
+            errs = _errs(x, p)  # (span, P)
+            werr = jnp.max(errs, axis=1)
+            if is_constraint:
+                werr = werr * _bcast(p["coeffs"], 1, x.dtype)[0]
+            return werr
+
+        def wjac_banded(x, p):
+            errs = _errs(x, p)
+            Js = _jac_steps(x, p)  # (span, P, nc), already negated
+            werr, Jrow = _weighted_rows(errs, Js)
+            if is_constraint:
+                Jrow = Jrow * _bcast(p["coeffs"], 1, x.dtype)[0]
+            return step_window(Jrow[:, None, :],
+                               first_step + jnp.arange(span), n_steps)
+
+        def wjac(x, p):
+            from ..ops.banded_rows import bb_to_dense
+            B, G = wjac_banded(x, p)
+            return bb_to_dense([B], [G], n_steps * nc, nc)
+
+        def wwf(p):
+            return _bcast(p["coeffs"], 1, jnp.asarray(p["coeffs"]).dtype
+                          ).repeat(span)
+
+        if is_constraint:
+            return ineq_constraint(name, span, wfn, jac_fn=wjac,
+                                   viol_groups=span, step_coupling=0,
+                                   jac_banded_fn=wjac_banded)
+        return hinge_cost(name, span, wfn, weight_fn=wwf, jac_fn=wjac,
+                          step_coupling=0, jac_banded_fn=wjac_banded)
+
     if is_constraint:
         def cfn(x, p):
             w = _bcast(p["coeffs"], P, x.dtype)
@@ -113,8 +168,13 @@ def cast_collision_term(
     n_sub: int = 8,
     is_constraint: bool = False,
     n_cols: Optional[int] = None,
+    weighted: bool = False,
 ) -> Term:
-    """Swept-volume collision over each step gap in [first, last-1]."""
+    """Swept-volume collision over each step gap in [first, last-1].
+
+    ``weighted=True`` aggregates all pairs of a gap into ONE row via
+    error-weighted average gradients (reference use_weighted_sum,
+    weighted_average_methods.cpp:31-68)."""
     n_dof = world.chain.n_dof
     nc = n_cols or n_dof
     last = (n_steps - 1) if last_step is None else last_step
@@ -123,14 +183,17 @@ def cast_collision_term(
     P = world.n_pairs
     n = n_gaps * P
 
-    def fn(x, p):
+    def _errs(x, p):
         X = x.reshape(n_steps, nc)[:, :n_dof]
         qa = X[first_step:last]
         qb = X[first_step + 1:last + 1]
         dists = jax.vmap(
             lambda a, b: world.cast_pair_distances(a, b, n_sub))(qa, qb)
         margins = _bcast(p["margins"], P, x.dtype)
-        return (margins[None, :] - dists).reshape(-1)
+        return margins[None, :] - dists  # (n_gaps, P)
+
+    def fn(x, p):
+        return _errs(x, p).reshape(-1)
 
     def wf(p):
         w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
@@ -173,6 +236,39 @@ def cast_collision_term(
         Ja_, Jb_ = _jac_gaps(x, p, cf)
         B = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, P, 2*nc)
         return B, first_step + jnp.arange(n_gaps, dtype=jnp.int32)
+
+    if weighted:
+        def wfn(x, p):
+            werr = jnp.max(_errs(x, p), axis=1)  # (n_gaps,)
+            if is_constraint:
+                werr = werr * _bcast(p["coeffs"], 1, x.dtype)[0]
+            return werr
+
+        def wjac_banded(x, p):
+            errs = _errs(x, p)
+            Ja_, Jb_ = _jac_gaps(x, p)
+            Js = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, P, 2nc)
+            werr, Jrow = _weighted_rows(errs, Js)
+            if is_constraint:
+                Jrow = Jrow * _bcast(p["coeffs"], 1, x.dtype)[0]
+            return (Jrow[:, None, :],
+                    first_step + jnp.arange(n_gaps, dtype=jnp.int32))
+
+        def wjac(x, p):
+            from ..ops.banded_rows import bb_to_dense
+            B, G = wjac_banded(x, p)
+            return bb_to_dense([B], [G], n_steps * nc, nc)
+
+        def wwf(p):
+            return _bcast(p["coeffs"], 1, jnp.asarray(p["coeffs"]).dtype
+                          ).repeat(n_gaps)
+
+        if is_constraint:
+            return ineq_constraint(name, n_gaps, wfn, jac_fn=wjac,
+                                   viol_groups=n_gaps, step_coupling=1,
+                                   jac_banded_fn=wjac_banded)
+        return hinge_cost(name, n_gaps, wfn, weight_fn=wwf, jac_fn=wjac,
+                          step_coupling=1, jac_banded_fn=wjac_banded)
 
     if is_constraint:
         def cfn(x, p):
