@@ -150,6 +150,19 @@ def test_telemetry_and_history():
     paths = write_logs(res, spec, log_dir="/tmp/trajopt_tpu_test_logs")
     assert all(os.path.exists(p) for p in paths)
 
+    # per-iteration iterate stream (the reference's trajopt_vars.log rows,
+    # optimizers.cpp:528-642): record_history_x adds one row per QP solve
+    res = solve(spec, data, SQPParams(record_history=32,
+                                      record_history_x=True, qp=PARAMS.qp))
+    import numpy as np
+    n_qp = int(res.n_qp_solves)
+    assert res.history_x.shape == (32, spec.n_x)
+    paths = write_logs(res, spec, log_dir="/tmp/trajopt_tpu_test_logs2")
+    vars_rows = open(paths[-1]).read().strip().splitlines()
+    assert len(vars_rows) == n_qp + 1  # per-iteration rows + final x
+    assert np.allclose([float(v) for v in vars_rows[-2].split(",")],
+                       np.asarray(res.history_x)[n_qp - 1], atol=1e-12)
+
 
 def test_sharded_batch_solve():
     from trajopt_tpu.parallel.sharding import make_mesh, solve_batch_sharded

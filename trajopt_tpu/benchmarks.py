@@ -52,10 +52,10 @@ def bench_params(dtype=jnp.float32) -> SQPParams:
     these trajectory QPs (see ops.ipm_qp).
     """
     return SQPParams(
-        max_total_qp_solves=60,
+        max_total_qp_solves=30,
         qp=QPSettings(eps_abs=1e-4, eps_rel=1e-6, max_iter=1000,
                       check_interval=25, adaptive_rho_interval=100,
-                      solver="ipm", max_ipm_iter=40),
+                      solver="ipm", max_ipm_iter=25),
     )
 
 
@@ -109,9 +109,13 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
         # make every constraint ACTIVE at the initial trajectory (reference
         # planning problems start infeasible; a solvable-by-zero-step batch
         # would game the bench): a mid-trajectory bump on the wrist/elbow
-        # joints breaks uprightness and deepens the table sweep, and the
-        # free last step starts offset from the goal target
-        bump = rng.uniform(-0.25, 0.25, D) * np.array([0, 1, 1, 1, 1, 1, 0])
+        # joints breaks uprightness and pushes the sweep against the table
+        # margin, and the free last step starts offset from the goal target.
+        # Amplitude keeps the init within ~margin-depth of the table
+        # (reference-class inits are collision-free or grazing,
+        # e.g. arm_around_table's given_traj): deeply buried inits mostly
+        # probe the pass-through local minimum, not planning throughput.
+        bump = rng.uniform(-0.12, 0.12, D) * np.array([0, 1, 1, 1, 1, 1, 0])
         phase = np.sin(np.pi * np.arange(T) / (T - 1))[:, None]
         init = init + (phase * bump[None, :]).astype(init.dtype)
         init[0] = start  # step 0 is pinned by fix_timestep(0)

@@ -180,3 +180,40 @@ def load_mesh_vertices(path: str) -> np.ndarray:
         data = np.frombuffer(f.read(n * 50), dtype=np.uint8)
         tri = data.reshape(n, 50)[:, :48].copy().view(np.float32).reshape(n, 12)
         return tri[:, 3:12].reshape(-1, 3).astype(np.float64)
+
+
+def resolve_package_uri(uri: str, package_map: dict) -> str:
+    """Resolve a ROS ``package://pkg/rel/path`` URI via a pkg -> dir map."""
+    if uri.startswith("package://"):
+        rest = uri[len("package://"):]
+        pkg, _, rel = rest.partition("/")
+        if pkg not in package_map:
+            raise ValueError(f"unknown package {pkg!r} in mesh uri {uri!r};"
+                             f" known: {sorted(package_map)}")
+        return f"{package_map[pkg]}/{rel}"
+    return uri
+
+
+def ingest_model_meshes(model, package_map: dict, max_verts: int = 32):
+    """Convert every raw mesh collision geometry of a RobotModel into a
+    convex hull (in place; returns the model).
+
+    The reference decomposes concave meshes with V-HACD offline and loads
+    them through tesseract (SURVEY §2.6); here the vertex cloud is hull-ed
+    and reduced to ``max_verts`` support points for the differentiable
+    support-mapping kernel.  Scene URDFs with package:// mesh URIs resolve
+    through ``package_map`` (pkg name -> directory).
+    """
+    import dataclasses as _dc
+
+    for lname, geoms in model.geoms.items():
+        for i, g in enumerate(geoms):
+            if g.kind == "mesh" and g.verts is None and g.mesh_file:
+                path = resolve_package_uri(g.mesh_file, package_map)
+                verts = load_mesh_vertices(path)
+                if verts.size == 0:
+                    raise ValueError(f"no vertices in mesh {path}")
+                hv = convex_hull_vertices(verts, max_verts)
+                geoms[i] = _dc.replace(g, kind="convex",
+                                       size=np.array([0.0]), verts=hv)
+    return model

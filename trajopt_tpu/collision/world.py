@@ -182,6 +182,31 @@ class CollisionWorld:
             out = out.at[pos].set(d)
         return out
 
+    def cast_pair_distances_sub(self, qa: jax.Array, qb: jax.Array,
+                                n_sub: int = 8) -> jax.Array:
+        """(n_sub, n_pairs) discrete distances at interpolated substates —
+        the reference's LVS evaluation (one contact set per substate,
+        continuous_collision_evaluators.cpp:205-240).  Gradients through
+        the interpolation give the cc_time endpoint split automatically."""
+        ss = jnp.linspace(0.0, 1.0, n_sub)
+        return jax.vmap(
+            lambda s: self.pair_distances(qa + s * (qb - qa)))(ss)
+
+    def cast_pair_distances_seg(self, qa: jax.Array, qb: jax.Array,
+                                n_sub: int = 8) -> jax.Array:
+        """(n_sub - 1, n_pairs) swept distances over consecutive substate
+        SEGMENTS of the motion qa -> qb — the reference's LVS_CONTINUOUS
+        lowering (cast contact check per interpolated segment,
+        continuous_collision_evaluators.cpp:171-240).  Each segment uses
+        the exact sweep kernels where available (spheres -> capsules,
+        translating boxes -> zonotope SAT), so between-substate tunneling
+        is bounded by the exact cases and the segment length."""
+        ss = jnp.linspace(0.0, 1.0, n_sub)
+        qs = qa[None, :] + ss[:, None] * (qb - qa)[None, :]
+        return jax.vmap(
+            lambda q0, q1: self.cast_pair_distances(q0, q1, 2))(
+                qs[:-1], qs[1:])
+
     def cast_pair_distances(self, qa: jax.Array, qb: jax.Array,
                             n_sub: int = 8) -> jax.Array:
         """(n_pairs,) swept distances over the motion qa -> qb.
@@ -194,9 +219,7 @@ class CollisionWorld:
         Rb, pb = self.chain.fk(qb)
         moving = self.chain.ancestor.any(axis=1)
 
-        ss = jnp.linspace(0.0, 1.0, n_sub)
-        sub_d = jax.vmap(
-            lambda s: self.pair_distances(qa + s * (qb - qa)))(ss)
+        sub_d = self.cast_pair_distances_sub(qa, qb, n_sub)
         d_min = jnp.min(sub_d, axis=0)  # (n_pairs,)
 
         translation_only = not bool(

@@ -106,7 +106,7 @@ def btd_factor(D: jax.Array, O: jax.Array):
 
     if D.ndim > 3:  # explicit batch axis ahead of T: scan over axis -3
         raise ValueError("batch via vmap, not explicit leading axes")
-    _, (Ls, Ms) = jax.lax.scan(step, L0, (D[1:], O))
+    _, (Ls, Ms) = jax.lax.scan(step, L0, (D[1:], O), unroll=True)
     LD = jnp.concatenate([L0[None], Ls], axis=0)
     return LD, Ms
 
@@ -122,7 +122,7 @@ def btd_solve(LD: jax.Array, LM: jax.Array, r: jax.Array) -> jax.Array:
             Li, ri - jnp.einsum("...ij,...j->...i", Mi, yprev))
         return yi, yi
 
-    _, ys = jax.lax.scan(fstep, y0, (LD[1:], LM, r[1:]))
+    _, ys = jax.lax.scan(fstep, y0, (LD[1:], LM, r[1:]), unroll=True)
     y = jnp.concatenate([y0[None], ys], axis=0)
 
     # backward: L' x = y
@@ -134,7 +134,8 @@ def btd_solve(LD: jax.Array, LM: jax.Array, r: jax.Array) -> jax.Array:
             Li, yi - jnp.einsum("...ji,...j->...i", Mnext, xnext))
         return xi, xi
 
-    _, xs = jax.lax.scan(bstep, xT, (LD[:-1], LM, y[:-1]), reverse=True)
+    _, xs = jax.lax.scan(bstep, xT, (LD[:-1], LM, y[:-1]), reverse=True,
+                         unroll=True)
     return jnp.concatenate([xs, xT[None]], axis=0)
 
 
@@ -150,3 +151,100 @@ def blocks_from_dense(K: jax.Array, n_blocks: int, b: int):
     D = K4[idx, :, idx, :]
     O = K4[idx[1:], :, idx[:-1], :]
     return D, O
+
+
+# --------------------------------------------------------------------------
+# Scalarized (fully unrolled, fusion-friendly) variants
+# --------------------------------------------------------------------------
+#
+# The scan/array kernels above lower each b x b block step into ~15 separate
+# TPU kernels (dynamic-update-slices from ``.at`` and one reduce kernel per
+# tiny einsum); at T=30 that is ~2,400 kernel launches per Newton iteration
+# and launch overhead dominates (measured ~1.4 us/kernel).  The *_scalar
+# variants below unroll everything into plain scalar arithmetic on
+# batch-shaped values — no reductions, no dynamic-update-slice — so XLA
+# fuses the whole factor/solve chain into a handful of kernels (~7x faster
+# inside the IPM loop).  The factor is an opaque nested-list structure
+# consumed only by btd_solve_scalar.
+
+
+def _chol_s(A, b, tiny):
+    L = [[None] * b for _ in range(b)]
+    for j in range(b):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, tiny))
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, b):
+            r = A[i][j]
+            for k in range(j):
+                r = r - L[i][k] * L[j][k]
+            L[i][j] = r * inv
+    return L
+
+
+def _solve_lower_vec_s(L, r, b):
+    x = [None] * b
+    for j in range(b):
+        s = r[j]
+        for k in range(j):
+            s = s - L[j][k] * x[k]
+        x[j] = s / L[j][j]
+    return x
+
+
+def _solve_upper_vec_s(L, r, b):
+    x = [None] * b
+    for j in range(b - 1, -1, -1):
+        s = r[j]
+        for k in range(j + 1, b):
+            s = s - L[k][j] * x[k]
+        x[j] = s / L[j][j]
+    return x
+
+
+def btd_factor_scalar(D: jax.Array, O: jax.Array):
+    """Scalarized block Cholesky; same math as btd_factor.
+
+    D (T, b, b), O (T-1, b, b) -> opaque factor for btd_solve_scalar.
+    """
+    T, b = D.shape[0], D.shape[1]
+    dt = D.dtype
+    tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-18, dt)
+    Ds = [[[D[t, i, j] for j in range(b)] for i in range(b)] for t in range(T)]
+    Os = [[[O[t, i, j] for j in range(b)] for i in range(b)]
+          for t in range(T - 1)]
+    LD = [None] * T
+    LM = [None] * (T - 1)
+    LD[0] = _chol_s(Ds[0], b, tiny)
+    for t in range(1, T):
+        M = [None] * b
+        for i in range(b):  # M = O L^{-T}: row i solves L y = O_row_i
+            M[i] = _solve_lower_vec_s(
+                LD[t - 1], [Os[t - 1][i][k] for k in range(b)], b)
+        S = [[Ds[t][i][j] - sum(M[i][k] * M[j][k] for k in range(b))
+              for j in range(b)] for i in range(b)]
+        LM[t - 1] = M
+        LD[t] = _chol_s(S, b, tiny)
+    return (LD, LM, T, b)
+
+
+def btd_solve_scalar(factor, r: jax.Array) -> jax.Array:
+    """Solve K x = r given btd_factor_scalar output. r: (T, b) -> (T, b)."""
+    LD, LM, T, b = factor
+    rs = [[r[t, i] for i in range(b)] for t in range(T)]
+    ys = [None] * T
+    ys[0] = _solve_lower_vec_s(LD[0], rs[0], b)
+    for t in range(1, T):
+        rhs = [rs[t][i] - sum(LM[t - 1][i][k] * ys[t - 1][k]
+                              for k in range(b)) for i in range(b)]
+        ys[t] = _solve_lower_vec_s(LD[t], rhs, b)
+    xs = [None] * T
+    xs[T - 1] = _solve_upper_vec_s(LD[T - 1], ys[T - 1], b)
+    for t in range(T - 2, -1, -1):
+        rhs = [ys[t][i] - sum(LM[t][k][i] * xs[t + 1][k] for k in range(b))
+               for i in range(b)]
+        xs[t] = _solve_upper_vec_s(LD[t], rhs, b)
+    return jnp.stack([jnp.stack(x) for x in xs])

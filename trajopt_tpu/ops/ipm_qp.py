@@ -69,7 +69,11 @@ from .banded_rows import (
     bb_scale_cols,
     bb_scale_rows,
 )
-from .btridiag import blocks_from_dense, btd_factor, btd_solve
+from .btridiag import (
+    blocks_from_dense,
+    btd_factor_scalar,
+    btd_solve_scalar,
+)
 from .prox_qp import ProxQPData
 from .qp import (
     QPSettings,
@@ -252,16 +256,26 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         f_best: jax.Array
         dx_best: jax.Array
 
+    # barrier-diagonal cap: near convergence the complementarity diagonals
+    # grow like 1/mu and the f32 block Cholesky breaks down (~1e12 dynamic
+    # range); capping bounds the Newton system's conditioning — an active
+    # row still behaves like a 1e7-stiff penalty, far beyond the QP
+    # tolerance, while iterates stay finite (standard practical-IPM
+    # safeguard).  f64 keeps a wider cap.
+    dcap = jnp.asarray(1e14 if dt == jnp.float64 else 1e10, dt)
+
     def kkt_diags(st):
         z2 = wh - st.z1
         z3 = wa - st.y
         z4 = wa + st.y
         s1 = st.h - (jh_mv(st.dx) + eh) if mh else jnp.zeros((0,), dt)
         denom = jnp.maximum(st.h * st.z1 + s1 * z2, tiny) if mh else s1
-        dh = st.z1 * z2 / denom if mh else s1
-        da = 1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny) \
+        dh = jnp.minimum(st.z1 * z2 / denom, dcap) if mh else s1
+        da = jnp.minimum(
+            1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny), dcap) \
             if ma else jnp.zeros((0,), dt)
-        dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
+        dbox = jnp.minimum(
+            st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx), dcap)
         return s1, z2, z3, z4, dh, da, dbox
 
     def newton(st, kkt_solve, s1, z2, z3, z4, rc1, rc2, rc3, rc4, rc5, rc6,
@@ -272,7 +286,8 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         """
         denom_h = jnp.maximum(st.h * st.z1 + s1 * z2, tiny) if mh else s1
         b_h = (rc1 * z2 - st.z1 * rc2) / denom_h if mh else rc1
-        da = 1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny) \
+        da = jnp.minimum(
+            1.0 / jnp.maximum(st.p / z3 + st.nn / z4, tiny), dcap) \
             if ma else jnp.zeros((0,), dt)
         b_a = -re + rc3 / z3 - rc4 / z4 if ma else re
         rhs = -rdx - (jh_rmv(b_h) if mh else 0.0) \
@@ -280,8 +295,9 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
             + rc5 / (st.dx - lb) - rc6 / (ub - st.dx)
         ddx = kkt_solve(rhs)
         # one refinement step against the exact condensed matrix
-        dh_diag = st.z1 * z2 / denom_h if mh else denom_h
-        dbox = st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx)
+        dh_diag = jnp.minimum(st.z1 * z2 / denom_h, dcap) if mh else denom_h
+        dbox = jnp.minimum(
+            st.z5 / (st.dx - lb) + st.z6 / (ub - st.dx), dcap)
         K_mv = (P @ ddx + (jh_rmv(dh_diag * jh_mv(ddx)) if mh else 0.0)
                 + (ja_rmv(da * ja_mv(ddx)) if ma else 0.0) + dbox * ddx)
         ddx = ddx + kkt_solve(rhs - K_mv)
@@ -318,10 +334,10 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
             diag_max = jnp.max(jax.vmap(jnp.diag)(D))
             reg = (1e-12 * diag_max + 1e-11) if dt == jnp.float64 \
                 else (1e-7 * diag_max + 1e-8)
-            LD, LM = btd_factor(D + reg * eye_b[None], O)
+            fac = btd_factor_scalar(D + reg * eye_b[None], O)
 
             def kkt_solve(r):
-                return btd_solve(LD, LM, r.reshape(nb, bsz)).reshape(n)
+                return btd_solve_scalar(fac, r.reshape(nb, bsz)).reshape(n)
 
             return kkt_solve
 
@@ -336,10 +352,11 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         if use_btd:
             Db, Ob = blocks_from_dense(Ksym, n // bsz, bsz)
             Db = Db + reg * jnp.eye(bsz, dtype=dt)[None]
-            LD, LM = btd_factor(Db, Ob)
+            fac = btd_factor_scalar(Db, Ob)
 
             def kkt_solve(r):
-                return btd_solve(LD, LM, r.reshape(n // bsz, bsz)).reshape(n)
+                return btd_solve_scalar(
+                    fac, r.reshape(n // bsz, bsz)).reshape(n)
 
             return kkt_solve
 
@@ -464,7 +481,14 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         rd_u = jnp.max(jnp.abs(rdx1)) / c
         gap_u = (n_pairs * mu1) / c
         d_scale = jnp.maximum(jnp.max(jnp.abs(P @ dx1)),
-                              jnp.max(jnp.abs(q))) / c
+                              jnp.max(jnp.abs(q)))
+        # merit escalation scales the stationarity terms by the row weights
+        # (up to 1e6 x) — an absolute-only dual test is unreachable then
+        if mh:
+            d_scale = jnp.maximum(d_scale, jnp.max(jnp.abs(jh_rmv(z1_1))))
+        if ma:
+            d_scale = jnp.maximum(d_scale, jnp.max(jnp.abs(ja_rmv(y1))))
+        d_scale = d_scale / c
         p_scale = (jnp.maximum(jnp.max(jnp.abs(ja_mv(dx1))),
                                jnp.max(jnp.abs(ea)))
                    if ma else jnp.asarray(0.0, dt))

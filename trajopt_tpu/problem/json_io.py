@@ -112,8 +112,13 @@ def _opt_params(opt: dict) -> SQPParams:
 def load_problem(doc: dict | str, chain: Chain,
                  world: Optional[CollisionWorld] = None,
                  qp: Optional[QPSettings] = None,
-                 n_sub: int = 8):
-    """Build (spec, data, params) from a reference-format JSON document."""
+                 n_sub: int = 8, n_sub_cap: int = 64):
+    """Build (spec, data, params) from a reference-format JSON document.
+
+    ``n_sub`` floors and ``n_sub_cap`` caps the swept-collision substate
+    count derived from longest_valid_segment_length (static shapes need a
+    per-problem bound; lower the cap to trade LVS fidelity for compute).
+    """
     if isinstance(doc, str):
         doc = json.loads(doc)
 
@@ -319,7 +324,7 @@ def load_problem(doc: dict | str, chain: Chain,
                 if lvs is not None:
                     n_sub_t = max(n_sub,
                                   min(int(np.ceil(max_step_dist / float(lvs)))
-                                      + 1, 64))
+                                      + 1, n_sub_cap))
                 term = cast_collision_term(
                     name, world, T, first_step=first, last_step=last,
                     n_sub=n_sub_t, is_constraint=is_constraint, n_cols=NC,

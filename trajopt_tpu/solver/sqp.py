@@ -371,6 +371,7 @@ class _State(NamedTuple):
     warm_dx: jax.Array
     warm_y: jax.Array
     hist: jax.Array
+    hist_x: jax.Array
     t_wall0: jax.Array  # host clock at first iteration (max_time only)
 
 
@@ -431,6 +432,8 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         warm_dx=jnp.zeros((n_qp,), dt),
         warm_y=jnp.zeros((m_qp,), dt),
         hist=jnp.zeros((p.record_history, 10), dt),
+        hist_x=jnp.zeros(
+            (p.record_history if p.record_history_x else 0, n_x), dt),
         t_wall0=jnp.float32(0.0),
     )
 
@@ -587,6 +590,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
                 status2)
 
         hist = st.hist
+        hist_x = st.hist_x
         if p.record_history > 0:
             row = jnp.stack([
                 old_merit, model_merit, new_merit, approx, exact, ratio,
@@ -596,13 +600,19 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
             idx = jnp.clip(st.n_qp, 0, p.record_history - 1)
             hist = jax.lax.dynamic_update_slice(
                 hist, row[None, :], (idx, jnp.zeros_like(idx)))
+            if p.record_history_x:
+                # the iterate after this QP solve (unchanged on rejection —
+                # the reference logs the current x each iteration)
+                hist_x = jax.lax.dynamic_update_slice(
+                    hist_x, x1[None, :], (idx, jnp.zeros_like(idx)))
 
         return _State(
             x=x1, box=box2, merit=merit1, cost_vals=cost1, cnt_viols=viol1,
             it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
             n_qp=st.n_qp + 1, n_admm=st.n_admm + sol.iters,
             n_fev=st.n_fev + 1, status=status2,
-            warm_dx=sol.u, warm_y=sol.y, hist=hist, t_wall0=t_wall1,
+            warm_dx=sol.u, warm_y=sol.y, hist=hist, hist_x=hist_x,
+            t_wall0=t_wall1,
         )
 
     st = jax.lax.while_loop(cond, body, st0)
@@ -624,6 +634,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         merit_coeffs=st.merit,
         trust_box_size=st.box,
         history=st.hist,
+        history_x=st.hist_x,
     )
 
 

@@ -74,6 +74,10 @@ class SQPParams:
     # (the analog of the reference's trajopt_solver.log CSV stream,
     # optimizers.cpp:703-713); see HISTORY_FIELDS.
     record_history: int = 0
+    # with record_history > 0: also record the iterate x per QP solve (the
+    # trajopt_vars.log stream the reference writes each iteration and
+    # plot_optimization.py plots, optimizers.cpp:528-642)
+    record_history_x: bool = False
     # Optional per-iteration host callback (the SQPCallback analog,
     # trust_region_sqp_solver.cpp:441-447): called with a dict
     # {x, merit, viols, box, n_qp}; returning True aborts the solve
@@ -140,3 +144,4 @@ class SQPResult(NamedTuple):
     merit_coeffs: jax.Array  # (n_cnt,) final penalty coefficients
     trust_box_size: jax.Array  # () final trust region size
     history: jax.Array  # (record_history, len(HISTORY_FIELDS)); (0, F) if off
+    history_x: jax.Array  # (record_history, n_x) iterates; (0, n_x) if off

@@ -172,7 +172,20 @@ def cast_collision_term(
 ) -> Term:
     """Swept-volume collision over each step gap in [first, last-1].
 
-    ``weighted=True`` aggregates all pairs of a gap into ONE row via
+    One hinge/constraint row per (gap, sub-segment, pair) — the
+    reference's LVS_CONTINUOUS lowering where every interpolated motion
+    segment contributes its own cast contact expressions
+    (CollisionsToDistanceExpressions over the per-segment ContactResultMap,
+    collision_terms.cpp:343-383 + continuous_collision_evaluators.cpp:
+    171-240).  Two properties matter: (a) a min-over-substates single row
+    loses model fidelity and stalls the trust region — the linearization
+    at the argmin substate wildly overpromises what a step can fix; (b)
+    each segment is evaluated with the exact sweep kernels (spheres ->
+    capsules, translating boxes), so between-substate tunneling cannot
+    slip through a CONVERGED verdict.  The endpoint (cc_time) gradient
+    split is autodiff through the interpolation.
+
+    ``weighted=True`` aggregates all rows of a gap into ONE via
     error-weighted average gradients (reference use_weighted_sum,
     weighted_average_methods.cpp:31-68)."""
     n_dof = world.chain.n_dof
@@ -181,37 +194,26 @@ def cast_collision_term(
     n_gaps = last - first_step
     assert n_gaps >= 1
     P = world.n_pairs
-    n = n_gaps * P
+    n_seg = max(n_sub - 1, 1)
+    R = n_seg * P  # rows per gap
+    n = n_gaps * R
 
     def _errs(x, p):
         X = x.reshape(n_steps, nc)[:, :n_dof]
         qa = X[first_step:last]
         qb = X[first_step + 1:last + 1]
         dists = jax.vmap(
-            lambda a, b: world.cast_pair_distances(a, b, n_sub))(qa, qb)
+            lambda a, b: world.cast_pair_distances_seg(
+                a, b, n_seg + 1))(qa, qb)
         margins = _bcast(p["margins"], P, x.dtype)
-        return margins[None, :] - dists  # (n_gaps, P)
+        return (margins[None, None, :] - dists).reshape(n_gaps, R)
 
     def fn(x, p):
         return _errs(x, p).reshape(-1)
 
     def wf(p):
         w = _bcast(p["coeffs"], P, jnp.asarray(p["coeffs"]).dtype)
-        return jnp.tile(w, n_gaps)
-
-    def jac_fn(x, p, cf=None):
-        """Structure-aware Jacobian: each gap's rows depend only on the two
-        adjacent steps (2*n_dof tangents through the swept-distance stack
-        instead of n_x), scattered into the banded layout.  The gradient
-        split between the gap endpoints is autodiff through the
-        interpolation (the reference's cc_time weighting,
-        collision_terms.cpp:262-323)."""
-        Ja_, Jb_ = _jac_gaps(x, p, cf)
-        J = jnp.zeros((n_gaps, P, n_steps, nc), x.dtype)
-        g = jnp.arange(n_gaps)
-        J = J.at[g, :, first_step + g, :n_dof].set(Ja_[..., :n_dof])
-        J = J.at[g, :, first_step + 1 + g, :n_dof].set(Jb_[..., :n_dof])
-        return J.reshape(n_gaps * P, n_steps * nc)
+        return jnp.tile(w, n_gaps * n_seg)
 
     def _jac_gaps(x, p, cf=None):
         X = x.reshape(n_steps, nc)
@@ -219,22 +221,34 @@ def cast_collision_term(
         qa = Q[first_step:last]
         qb = Q[first_step + 1:last + 1]
         Jab = jax.vmap(jax.jacfwd(
-            lambda a, b: world.cast_pair_distances(a, b, n_sub),
-            argnums=(0, 1)))(qa, qb)  # 2 x (n_gaps, P, D)
+            lambda a, b: world.cast_pair_distances_seg(a, b, n_seg + 1),
+            argnums=(0, 1)))(qa, qb)  # 2 x (n_gaps, n_seg, P, D)
         Ja_, Jb_ = Jab
+        Ja_ = Ja_.reshape(n_gaps, R, n_dof)
+        Jb_ = Jb_.reshape(n_gaps, R, n_dof)
         if cf is not None:
-            w = cf(p)
+            w = jnp.tile(cf(p), n_seg)
             Ja_ = Ja_ * w[None, :, None]
             Jb_ = Jb_ * w[None, :, None]
         if nc != n_dof:  # pad the inv-dt column (no collision dependence)
-            z = jnp.zeros((n_gaps, P, nc - n_dof), x.dtype)
+            z = jnp.zeros((n_gaps, R, nc - n_dof), x.dtype)
             Ja_ = jnp.concatenate([Ja_, z], axis=-1)
             Jb_ = jnp.concatenate([Jb_, z], axis=-1)
         return -Ja_, -Jb_
 
+    def jac_fn(x, p, cf=None):
+        """Banded scatter of the per-gap row blocks (each depends on the
+        two adjacent steps only)."""
+        Ja_, Jb_ = _jac_gaps(x, p, cf)
+        J = jnp.zeros((n_gaps, R, n_steps, nc), x.dtype)
+        g = jnp.arange(n_gaps)
+        J = J.at[g, :, first_step + g, :n_dof].set(Ja_[..., :n_dof])
+        J = J.at[g, :, first_step + 1 + g, :n_dof].set(Jb_[..., :n_dof])
+        return J.reshape(n_gaps * R, n_steps * nc)
+
     def jac_banded_fn(x, p, cf=None):
         Ja_, Jb_ = _jac_gaps(x, p, cf)
-        B = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, P, 2*nc)
+        B = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, R, 2*nc)
         return B, first_step + jnp.arange(n_gaps, dtype=jnp.int32)
 
     if weighted:
@@ -247,7 +261,7 @@ def cast_collision_term(
         def wjac_banded(x, p):
             errs = _errs(x, p)
             Ja_, Jb_ = _jac_gaps(x, p)
-            Js = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, P, 2nc)
+            Js = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, R, 2nc)
             werr, Jrow = _weighted_rows(errs, Js)
             if is_constraint:
                 Jrow = Jrow * _bcast(p["coeffs"], 1, x.dtype)[0]
@@ -273,7 +287,7 @@ def cast_collision_term(
     if is_constraint:
         def cfn(x, p):
             w = _bcast(p["coeffs"], P, x.dtype)
-            return fn(x, p) * jnp.tile(w, n_gaps)
+            return fn(x, p) * jnp.tile(w, n_gaps * n_seg)
         ccf = lambda pp, x: _bcast(pp["coeffs"], P, x.dtype)
         return ineq_constraint(
             name, n, cfn,
@@ -287,13 +301,19 @@ def cast_collision_term(
 
 
 def trajectory_in_collision(world: CollisionWorld, X: jax.Array,
-                            margin: float = 0.0, n_sub: int = 16) -> jax.Array:
+                            margin: float = 0.0, n_sub: int = 16,
+                            pair_mask=None) -> jax.Array:
     """Independent swept check of a final trajectory (the reference's
     post-solve verification pattern, planning_unit.cpp:98-148).
 
     Returns the minimum swept distance over all gaps/pairs; >= margin means
-    collision-free.
+    collision-free.  ``pair_mask`` (n_pairs,) restricts the check to a pair
+    subset (e.g. environment pairs only, the reference's contact-manager
+    scoping).
     """
     qa, qb = X[:-1], X[1:]
     d = jax.vmap(lambda a, b: world.cast_pair_distances(a, b, n_sub))(qa, qb)
+    if pair_mask is not None:
+        big = jnp.asarray(jnp.inf, d.dtype)
+        d = jnp.where(jnp.asarray(pair_mask, bool)[None, :], d, big)
     return jnp.min(d)

@@ -73,6 +73,10 @@ def write_logs(res: SQPResult, spec: ProblemSpec, log_dir: str = "/tmp",
 
     p = os.path.join(log_dir, f"{prefix}_vars.log")
     with open(p, "w") as f:
+        HX = np.asarray(res.history_x)
+        if HX.shape[0]:  # per-iteration iterates (record_history_x)
+            for i in range(min(n, HX.shape[0])):
+                f.write(",".join(f"{float(v):.9g}" for v in HX[i]) + "\n")
         f.write(",".join(f"{float(v):.9g}" for v in np.asarray(res.x)) + "\n")
     paths.append(p)
     return paths
