@@ -125,3 +125,52 @@ def test_ipm_btd_matches_dense(rng):
     assert int(sol_b.status) in (1, 2)
     np.testing.assert_allclose(np.asarray(sol_b.x), np.asarray(sol_d.x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_acc_jerk_problem_takes_superblock_banded_path():
+    """joint_acc/jerk terms (step coupling 2/3) must stay off the dense
+    Cholesky: the solver auto-picks kkt_block = max_coupling * n_cols
+    (super-blocks of coupling-many steps make the KKT block-tridiagonal
+    again — the pentadiagonal-class structure of trajectory_costs.cpp:775)
+    and the solution matches the forced-dense one."""
+    from trajopt_tpu.ops.qp import QPSettings
+    from trajopt_tpu.problem.trajectory import TrajProblemBuilder, interpolated_init
+    from trajopt_tpu.solver.sqp import _band_coupling, solve
+    from trajopt_tpu.solver.types import CONVERGED, SQPParams
+    from trajopt_tpu.terms.joint import (
+        joint_acc_term, joint_jerk_term, joint_pos_term, joint_vel_term)
+
+    T, D = 12, 3
+
+    class _FakeChain:
+        n_dof = D
+        lb = np.full(D, -4.0)
+        ub = np.full(D, 4.0)
+
+    b = TrajProblemBuilder(_FakeChain(), T)
+    b.add_cost(joint_vel_term("v", T, D),
+               {"targets": np.zeros(D), "coeffs": np.ones(D)})
+    b.add_cost(joint_acc_term("a", T, D),
+               {"targets": np.zeros(D), "coeffs": np.full(D, 2.0)})
+    b.add_cost(joint_jerk_term("j", T, D),
+               {"targets": np.zeros(D), "coeffs": np.full(D, 1.5)})
+    b.add_constraint(joint_pos_term("goal", T, D, first_step=T - 1,
+                                    last_step=T - 1, is_constraint=True),
+                     {"targets": np.full(D, 1.0), "coeffs": np.ones(D)})
+    b.fix_timestep(0)
+    init = interpolated_init(np.zeros(D), np.full(D, 1.0), T)
+    spec, data = b.build(init)
+
+    assert _band_coupling(spec) == 3  # jerk dominates
+    p_auto = SQPParams(qp=QPSettings(solver="ipm", eps_abs=1e-8,
+                                     eps_rel=1e-10))
+    # forced dense: kkt_block must divide into >= 2 blocks; n_x = 36,
+    # block 36 fails the n >= 2*bsz test -> dense fallback inside the IPM
+    p_dense = SQPParams(qp=QPSettings(solver="ipm", eps_abs=1e-8,
+                                      eps_rel=1e-10, kkt_block=T * D))
+    r_auto = solve(spec, data, p_auto)
+    r_dense = solve(spec, data, p_dense)
+    assert int(r_auto.status) == CONVERGED
+    assert int(r_dense.status) == CONVERGED
+    np.testing.assert_allclose(np.asarray(r_auto.x), np.asarray(r_dense.x),
+                               rtol=1e-5, atol=1e-6)

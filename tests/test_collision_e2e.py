@@ -19,7 +19,6 @@ from trajopt_tpu.ops.qp import QPSettings
 from trajopt_tpu.problem.trajectory import (
     TrajProblemBuilder,
     interpolated_init,
-    stationary_init,
 )
 from trajopt_tpu.solver.sqp import solve
 from trajopt_tpu.solver.types import CONVERGED, SQPParams

@@ -3,7 +3,6 @@ use_weighted_sum, per-link-pair collision overrides (VERDICT round-1 items —
 accepted-but-ignored fields are worse than rejected ones)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
@@ -12,7 +11,7 @@ from trajopt_tpu.models import spherebot
 from trajopt_tpu.ops.qp import QPSettings
 from trajopt_tpu.problem.json_io import load_problem
 from trajopt_tpu.solver.sqp import solve
-from trajopt_tpu.solver.types import CONVERGED, TIME_LIMIT, SQPParams
+from trajopt_tpu.solver.types import CONVERGED, TIME_LIMIT
 
 QP = QPSettings(eps_abs=1e-6, eps_rel=1e-8, max_iter=4000)
 
@@ -152,3 +151,34 @@ def test_per_pair_collision_overrides():
     with pytest.raises(ValueError):
         load_problem(_spherebot_doc(pair_margins={"nope,zilch": 0.1}),
                      chain, world, qp=QP)
+
+
+def test_use_weighted_sum_multi_pair_world():
+    """Weighted aggregation must work for worlds with >1 collision pair
+    (ADVICE r2: the coeff reduction used to broadcast an (n_pairs,) array
+    to shape (1,) and crash at trace time)."""
+    from trajopt_tpu.models import arm7
+    from trajopt_tpu.terms.collision import (
+        cast_collision_term, discrete_collision_term)
+
+    m, chain = arm7()
+    world = build_collision_world(m, chain)
+    assert world.n_pairs > 1
+    T, D = 3, chain.n_dof
+    x = jnp.zeros((T * D,), jnp.float64)
+    p = {"margins": jnp.full((world.n_pairs,), 0.05),
+         "coeffs": jnp.full((world.n_pairs,), 20.0)}
+    for is_cnt in (False, True):
+        td = discrete_collision_term("wd", world, T, weighted=True,
+                                     is_constraint=is_cnt)
+        tc = cast_collision_term("wc", world, T, n_sub=2, weighted=True,
+                                 is_constraint=is_cnt)
+        for t, rows in ((td, T), (tc, T - 1)):
+            err = t.err(x, p)
+            assert err.shape == (rows,)
+            J = t.jac(x, p)
+            assert J.shape == (rows, T * D)
+            assert np.all(np.isfinite(np.asarray(J)))
+            if not is_cnt:
+                w = t.weights(p)
+                np.testing.assert_allclose(np.asarray(w), 20.0)

@@ -15,7 +15,6 @@ from trajopt_tpu.collision.decompose import (
     load_mesh_vertices,
 )
 from trajopt_tpu.collision.world import CONVEX, build_collision_world
-from trajopt_tpu.kinematics.urdf import UrdfGeom
 from trajopt_tpu.models import arm7
 
 

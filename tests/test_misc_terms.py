@@ -231,3 +231,52 @@ def test_distributed_helpers_single_process():
 
     rep = dist.scaling_report(800.0, 8, 125.0)
     assert abs(rep["efficiency"] - 0.8) < 1e-12
+
+
+def test_cart_pose_tolerance_band_matches_fd():
+    """Toleranced pose term (CartPoseTermInfo lower/upper_tolerance,
+    problem_description.hpp:330-373): error inside the band is zero; outside
+    it is distance-to-bound; the autodiff Jacobian matches finite
+    differences through the band (kinematic_terms.cpp:92,234)."""
+    from trajopt_tpu.models import arm7
+    from trajopt_tpu.terms.cartesian import (
+        cart_pose_term, default_cart_pose_params)
+
+    m, chain = arm7()
+    T, D = 1, chain.n_dof
+    q = jnp.asarray(np.linspace(-0.4, 0.4, D))
+    # target = FK of q itself -> raw error is exactly zero
+    R, p = chain.fk(q)
+    li = chain.link_index(chain.link_names[-1])
+    term = cart_pose_term("cp", chain, T, 0, chain.link_names[-1],
+                          is_constraint=True)
+    params = default_cart_pose_params(
+        target_R=R[li], target_p=p[li],
+        lower_tols=[-0.05] * 6, upper_tols=[0.05] * 6)
+    e0 = np.asarray(term.err(q, params))
+    np.testing.assert_allclose(e0, 0.0, atol=1e-12)  # inside the band
+
+    # perturb outside the band: error = raw - bound, never raw
+    q2 = q + 0.3
+    e2 = np.asarray(term.err(q2, params))
+    params_plain = default_cart_pose_params(target_R=R[li], target_p=p[li])
+    raw = np.asarray(term.err(q2, params_plain))
+    outside = np.abs(raw) > 0.05
+    np.testing.assert_allclose(
+        e2[outside], raw[outside] - np.sign(raw[outside]) * 0.05, atol=1e-10)
+    assert (e2[~outside] == 0).all()
+
+    # FD Jacobian check at the perturbed point
+    J = np.asarray(term.jac(q2, params))
+    eps = 1e-7
+    J_fd = np.zeros_like(J)
+    for d in range(D):
+        dq = np.zeros(D)
+        dq[d] = eps
+        J_fd[:, d] = (np.asarray(term.err(q2 + dq, params))
+                      - np.asarray(term.err(q2 - dq, params))) / (2 * eps)
+    np.testing.assert_allclose(J, J_fd, atol=1e-5)
+
+    import pytest
+    with pytest.raises(ValueError):
+        default_cart_pose_params(lower_tols=0.1, upper_tols=-0.1)

@@ -6,7 +6,6 @@ plus randomized QPs cross-checked against scipy SLSQP.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 import scipy.optimize

@@ -25,7 +25,6 @@ Config coverage (all the configs the reference's tests load):
 import json
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -6,9 +6,7 @@ numerical contract that pins SQP/QP behavior.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-import pytest
 
 from trajopt_tpu.solver.types import (
     CONVERGED,

@@ -7,7 +7,6 @@ solution quality.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from trajopt_tpu.models import arm7

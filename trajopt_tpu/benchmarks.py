@@ -35,7 +35,7 @@ from .collision.world import build_collision_world
 from .models import arm7
 from .ops.qp import QPSettings
 from .problem.trajectory import TrajProblemBuilder, interpolated_init, stack_data
-from .solver.types import ProblemData, ProblemSpec, SQPParams
+from .solver.types import SQPParams
 from .terms.cartesian import upright_term
 from .terms.collision import cast_collision_term
 from .terms.joint import joint_pos_term, joint_vel_term

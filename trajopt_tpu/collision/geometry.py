@@ -21,6 +21,8 @@ Conventions: boxes are (center, rotation, half-extents); capsules are
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -141,25 +143,15 @@ def _make_dirs():
 _PEN_DIRS = _make_dirs()
 
 
-def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
-    """Signed distance between convex hulls conv(V1)⊕r1 and conv(V2)⊕r2.
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _fw_weights(V1, V2, iters):
+    """Frank–Wolfe witness weights for the closest-point pair of two hulls.
 
-    The TPU-native support-mapping path for convex meshes (SURVEY.md §1:
-    "support mapping GJK-style for convex meshes"; tesseract's
-    Bullet/FCL GJK consumed at trajopt/src/collision_terms.cpp:203-323).
-    Design: instead of GJK's divergent simplex cases, run fixed-iteration
-    Frank–Wolfe on ½‖a−b‖² over the two hulls (every step = two support
-    queries = two argmax matmuls — MXU-friendly, vmappable, static shapes).
-    Witness convex weights are ``stop_gradient``-ed so autodiff applies the
-    envelope theorem: d(dist)/d(verts) is exact at the optimum, matching the
-    reference's contact-normal gradients.
-
-    Penetration: FW drives the gap to 0; the signed depth is recovered as
-    −min_u h_{A⊖B}(u) over the fixed 26-direction cover (a conservative,
-    differentiable overestimate of depth — the hinge terms push outward).
-
-    ``V*`` may be padded with repeated vertices (padding never wins an
-    argmax tie in a harmful way: support values are identical).
+    Wrapped in custom_jvp with a ZERO tangent (envelope theorem: the
+    optimal convex weights are treated as constants when differentiating
+    the distance) so jacfwd never traces the 24-step scan — without this,
+    every collision-Jacobian tangent replays the whole iteration, which
+    dominated the flagship convexify wall.
     """
     n1 = V1.shape[0]
     n2 = V2.shape[0]
@@ -181,8 +173,36 @@ def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
                 (1 - gamma) * l2 + gamma * e2), None
 
     (l1, l2), _ = jax.lax.scan(body, (l1, l2), None, length=iters)
-    l1 = jax.lax.stop_gradient(l1)
-    l2 = jax.lax.stop_gradient(l2)
+    return l1, l2
+
+
+@_fw_weights.defjvp
+def _fw_weights_jvp(iters, primals, tangents):
+    out = _fw_weights(*primals, iters)
+    return out, jax.tree.map(jnp.zeros_like, out)
+
+
+def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
+    """Signed distance between convex hulls conv(V1)⊕r1 and conv(V2)⊕r2.
+
+    The TPU-native support-mapping path for convex meshes (SURVEY.md §1:
+    "support mapping GJK-style for convex meshes"; tesseract's
+    Bullet/FCL GJK consumed at trajopt/src/collision_terms.cpp:203-323).
+    Design: instead of GJK's divergent simplex cases, run fixed-iteration
+    Frank–Wolfe on ½‖a−b‖² over the two hulls (every step = two support
+    queries = two argmax matmuls — MXU-friendly, vmappable, static shapes).
+    Witness convex weights are ``stop_gradient``-ed so autodiff applies the
+    envelope theorem: d(dist)/d(verts) is exact at the optimum, matching the
+    reference's contact-normal gradients.
+
+    Penetration: FW drives the gap to 0; the signed depth is recovered as
+    −min_u h_{A⊖B}(u) over the fixed 26-direction cover (a conservative,
+    differentiable overestimate of depth — the hinge terms push outward).
+
+    ``V*`` may be padded with repeated vertices (padding never wins an
+    argmax tie in a harmful way: support values are identical).
+    """
+    l1, l2 = _fw_weights(V1, V2, iters)
     p1 = l1 @ V1
     p2 = l2 @ V2
     gap = _safe_norm(p1 - p2)

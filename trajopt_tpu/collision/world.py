@@ -200,12 +200,24 @@ class CollisionWorld:
         continuous_collision_evaluators.cpp:171-240).  Each segment uses
         the exact sweep kernels where available (spheres -> capsules,
         translating boxes -> zonotope SAT), so between-substate tunneling
-        is bounded by the exact cases and the segment length."""
-        ss = jnp.linspace(0.0, 1.0, n_sub)
+        is bounded by the exact cases and the segment length.
+
+        FK and the discrete pair kernels run ONCE per substate (each
+        interior substate is shared by two segments); only the exact-sweep
+        overrides are per segment.
+        """
+        dt = qa.dtype
+        ss = jnp.linspace(0.0, 1.0, n_sub).astype(dt)
         qs = qa[None, :] + ss[:, None] * (qb - qa)[None, :]
-        return jax.vmap(
-            lambda q0, q1: self.cast_pair_distances(q0, q1, 2))(
-                qs[:-1], qs[1:])
+        Rs, ps = jax.vmap(self.chain.fk)(qs)  # (n_sub, L, 3, 3/3)
+        wks = jax.vmap(
+            lambda R, p: self._world_kind_arrays(R, p, dt))(Rs, ps)
+        sub_d = jax.vmap(
+            lambda R, p: self._pair_distances_from_poses(R, p, dt))(Rs, ps)
+        d_min = jnp.minimum(sub_d[:-1], sub_d[1:])  # (n_seg, P)
+        wa = jax.tree.map(lambda x: x[:-1], wks)
+        wb = jax.tree.map(lambda x: x[1:], wks)
+        return jax.vmap(self._exact_sweep_overrides)(wa, wb, d_min)
 
     def cast_pair_distances(self, qa: jax.Array, qb: jax.Array,
                             n_sub: int = 8) -> jax.Array:
@@ -217,17 +229,24 @@ class CollisionWorld:
         dt = qa.dtype
         Ra, pa = self.chain.fk(qa)
         Rb, pb = self.chain.fk(qb)
-        moving = self.chain.ancestor.any(axis=1)
 
         sub_d = self.cast_pair_distances_sub(qa, qb, n_sub)
         d_min = jnp.min(sub_d, axis=0)  # (n_pairs,)
 
+        wa = self._world_kind_arrays(Ra, pa, dt)
+        wb = self._world_kind_arrays(Rb, pb, dt)
+        return self._exact_sweep_overrides(wa, wb, d_min)
+
+    def _exact_sweep_overrides(self, wa, wb, d_min) -> jax.Array:
+        """Replace the substate-min distance with the exact swept distance
+        for the pair cases where one exists: a moving sphere against static
+        geometry (the swept volume of a sphere is a capsule) and
+        translating boxes (zonotope SAT).  ``wa``/``wb`` are the canonical
+        world-kind arrays at the motion endpoints."""
+        moving = self.chain.ancestor.any(axis=1)
         translation_only = not bool(
             (np.asarray(self.chain.jtype)[np.asarray(self.chain.link_of_dof)]
              == 1).any()) if self.chain.n_dof else True
-
-        wa = self._world_kind_arrays(Ra, pa, dt)
-        wb = self._world_kind_arrays(Rb, pb, dt)
         kind_pos = {k: {g: i for i, g in enumerate(idx)}
                     for k, idx in self._kind_idx.items()}
 
@@ -375,6 +394,11 @@ def build_collision_world(model: RobotModel, chain: Chain,
             else:
                 raw_pairs.append((j, i))
 
+    return _make_world(chain, specs, raw_pairs)
+
+
+def _make_world(chain: Chain, specs: list, raw_pairs: list) -> CollisionWorld:
+    """Group candidate pairs by (kind, kind) and build the world."""
     kind_idx = {k: [] for k in (SPHERE, CAPSULE, BOX, CONVEX)}
     for gi, g in enumerate(specs):
         kind_idx[g.kind].append(gi)

@@ -499,9 +499,14 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
         rp_r = rp_u / eps_p
         rd_r = jnp.maximum(rd_u / eps_d, gap_u / eps_g)
         conv = finite & (rp_r <= 1.0) & (rd_r <= 1.0)
+        # non-finite breakdown: exit with the incumbent, labeled by whether
+        # it made progress — same test as the iteration-cap exit below (a
+        # no-progress breakdown must NOT read as a usable "no improvement"
+        # step, which would re-open the false-convergence hole)
+        broke = jnp.where(f_best < f_zero, jnp.int32(QP_SOLVED_INACCURATE),
+                          jnp.int32(QP_MAX_ITER))
         status = jnp.where(conv, jnp.int32(QP_SOLVED),
-                           jnp.where(finite, st.status,
-                                     jnp.int32(QP_SOLVED_INACCURATE)))
+                           jnp.where(finite, st.status, broke))
         return _St(dx1, h1, p1, nn1, z1_1, y1, z5_1, z6_1,
                    st.it + 1, status, rp_r, rd_r, f_best, dx_best)
 
@@ -528,7 +533,14 @@ def solve_ipm_qp(data: ProxQPData, settings: QPSettings = QPSettings(),
     dx_out = jnp.clip(jnp.where(use_fin, fin.dx, fin.dx_best),
                       data.lb, data.ub)
 
-    u_out = jnp.concatenate([dx_out, fin.h, fin.p, fin.nn])
+    # warm-start slacks recomputed from dx_out so the returned u is ONE
+    # consistent iterate (not best-primal + final-iterate slacks)
+    g_out = jh_mv(dx_out) + eh if mh else fin.h
+    h_out = jnp.maximum(g_out, 0.0)
+    r_out = ja_mv(dx_out) + ea if ma else jnp.zeros((0,), dt)
+    p_out = jnp.maximum(r_out, 0.0)
+    nn_out = jnp.maximum(-r_out, 0.0)
+    u_out = jnp.concatenate([dx_out, h_out, p_out, nn_out])
     # duals in the ADMM row layout (hinge, abs, box, slack bounds); like the
     # ADMM path these stay in row-normalized space, unscaled by the cost
     # factor only (they serve as warm starts for the next related solve)

@@ -38,6 +38,53 @@ import jax.numpy as jnp
 # Large-but-finite stand-in for +/- infinity in bounds (OSQP uses 1e30).
 OSQP_INFTY = 1e20
 
+# Reference solver names (sco::ModelType, solver_interface.hpp + the
+# TRAJOPT_CONVEX_SOLVER env override, solver_interface.cpp:305-325) mapped
+# onto this framework's backends: OSQP-class -> the ADMM kernel, BPMPD-class
+# -> the interior-point kernel.  Gurobi/qpOASES are not built (SURVEY §2.7.5)
+# and raise, exactly as the reference's createModel does for backends it was
+# compiled without.
+CONVEX_SOLVER_NAMES = {
+    "OSQP": "admm",
+    "ADMM": "admm",
+    "BPMPD": "ipm",
+    "IPM": "ipm",
+    "AUTO": "auto",
+    "AUTO_SOLVER": "auto",
+}
+
+
+def resolve_solver(name: str) -> str:
+    """Resolve a QPSettings.solver value to a concrete backend.
+
+    "auto" honors the TRAJOPT_CONVEX_SOLVER environment variable (reference
+    createModel, trajopt_sco/src/solver_interface.cpp:305-325) and otherwise
+    picks the preferred backend ("ipm": it meets the reference accuracy
+    contract in ~10 Newton steps on trajectory QPs and is the backend the
+    flagship benchmarks trust).  Resolution happens at trace time — the
+    backend is part of the compiled program.
+    """
+    got = CONVEX_SOLVER_NAMES.get(name.upper(), name.lower())
+    if got == "auto":
+        import os
+
+        env = os.environ.get("TRAJOPT_CONVEX_SOLVER", "")
+        if env and env.upper() not in ("AUTO", "AUTO_SOLVER"):
+            env_got = CONVEX_SOLVER_NAMES.get(env.upper())
+            if env_got in (None, "auto"):
+                raise ValueError(
+                    f"invalid solver {env!r} specified by "
+                    "TRAJOPT_CONVEX_SOLVER (supported: "
+                    f"{sorted(CONVEX_SOLVER_NAMES)})")
+            return env_got
+        return "ipm"
+    if got not in ("admm", "ipm"):
+        raise ValueError(
+            f"convex solver {name!r} is not built in this framework "
+            "(supported: OSQP/ADMM, BPMPD/IPM, AUTO_SOLVER — the reference's "
+            "Gurobi/qpOASES backends are not ported, SURVEY §2.7.5)")
+    return got
+
 # QP status codes (kept small ints so they live in device arrays).
 QP_UNSOLVED = 0
 QP_SOLVED = 1
@@ -68,9 +115,11 @@ class QPSettings:
     adaptive_rho_tol: float = 5.0  # only change rho if ratio exceeds this
     scaling_iters: int = 10
     refine_steps: int = 1  # iterative-refinement steps on each KKT solve
-    # inner solver for the SQP subproblem: "admm" (OSQP parity) or "ipm"
-    # (Mehrotra predictor-corrector, ops.ipm_qp — the BPMPD-class backend)
-    solver: str = "admm"
+    # inner solver for the SQP subproblem: "admm" (OSQP parity), "ipm"
+    # (Mehrotra predictor-corrector, ops.ipm_qp — the BPMPD-class backend),
+    # or "auto" (reference AUTO_SOLVER: the TRAJOPT_CONVEX_SOLVER env var if
+    # set, else the preferred backend — resolve with resolve_solver())
+    solver: str = "auto"
     max_ipm_iter: int = 40
     # KKT block size for the block-tridiagonal Cholesky path (ops.btridiag):
     # 0 = dense.  Only valid when the condensed KKT matrix truly is

@@ -33,7 +33,7 @@ time variants too, problem_description.cpp:931-938).
 from __future__ import annotations
 
 import json
-from typing import Any, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -112,12 +112,23 @@ def _opt_params(opt: dict) -> SQPParams:
 def load_problem(doc: dict | str, chain: Chain,
                  world: Optional[CollisionWorld] = None,
                  qp: Optional[QPSettings] = None,
-                 n_sub: int = 8, n_sub_cap: int = 64):
+                 n_sub: int = 8, n_sub_cap: int = 64,
+                 max_contacts: Optional[int] = 32,
+                 cull: bool = True):
     """Build (spec, data, params) from a reference-format JSON document.
 
     ``n_sub`` floors and ``n_sub_cap`` caps the swept-collision substate
     count derived from longest_valid_segment_length (static shapes need a
     per-problem bound; lower the cap to trade LVS fidelity for compute).
+
+    Contact reduction (the analog of the reference's broad phase +
+    contact-window pipeline, see terms.collision._topk_rows and
+    collision.broadphase):
+
+    * ``max_contacts`` caps QP rows per step/gap at the K worst contacts
+      (None = one row per pair per (sub)segment, the exact lowering);
+    * ``cull=True`` statically drops candidate pairs that provably stay
+      outside margin + safety_margin_buffer over the whole joint box.
     """
     if isinstance(doc, str):
         doc = json.loads(doc)
@@ -279,7 +290,8 @@ def load_problem(doc: dict | str, chain: Chain,
             _only(params, {"coeffs", "dist_pen", "evaluator_type",
                            "fixed_steps", "first_step", "last_step",
                            "longest_valid_segment_length", "use_weighted_sum",
-                           "contact_test_type", "pair_coeffs", "pair_margins"},
+                           "contact_test_type", "pair_coeffs", "pair_margins",
+                           "pairs", "safety_margin_buffer", "max_num_cnt"},
                   ttype)
             ev = int(params.get("evaluator_type", 1))
             first = int(params.get("first_step", 0))
@@ -289,12 +301,55 @@ def load_problem(doc: dict | str, chain: Chain,
             margin = float(np.atleast_1d(params.get("dist_pen", 0.025))[0])
             weighted = _bool(params.get("use_weighted_sum", False),
                              f"{ttype}.use_weighted_sum")
+            # contact window: contacts farther than margin + buffer are
+            # invisible to the optimizer (CollisionTermInfo::fromJson
+            # "safety_margin_buffer" default 0.5,
+            # problem_description.cpp:1630)
+            buffer = float(params.get("safety_margin_buffer", 0.5))
+            # per-contact row cap: "max_num_cnt" (collision_types.h:162)
+            # overrides the load_problem-level default
+            mc = params.get("max_num_cnt", max_contacts)
+            mc = None if mc is None else int(mc)
             # per-link-pair overrides (CollisionCoeffData default +
-            # per-pair values, collision_types.h:124-163)
-            margins_arr = world.pair_value_array(
-                margin, params.get("pair_margins"))
-            coeffs_arr = world.pair_value_array(
-                coeffs, params.get("pair_coeffs"))
+            # per-pair values, collision_types.h:124-163); the reference's
+            # "pairs" list format ({"link": .., "pair": [..], "coeffs": ..,
+            # "dist_pen": ..}, problem_description.cpp:1668-1701) is
+            # translated to the dict form
+            pair_margins = dict(params.get("pair_margins") or {})
+            pair_coeffs = dict(params.get("pair_coeffs") or {})
+            for ent in params.get("pairs", []):
+                _only(ent, {"link", "pair", "coeffs", "dist_pen"},
+                      f"{ttype}.pairs")
+                for other in ent["pair"]:
+                    key = f"{ent['link']},{other}"
+                    if "dist_pen" in ent:
+                        pair_margins[key] = float(
+                            np.atleast_1d(ent["dist_pen"])[0])
+                    if "coeffs" in ent:
+                        pair_coeffs[key] = float(
+                            np.atleast_1d(ent["coeffs"])[0])
+            # typo rejection happens against the FULL world; culled pairs
+            # may then legitimately disappear from the override sets
+            world.pair_value_array(margin, pair_margins or None)
+            world.pair_value_array(coeffs, pair_coeffs or None)
+            cw = world
+            if cull:
+                from ..collision.broadphase import prune_pairs
+                cull_dist = (max([margin] + list(pair_margins.values()))
+                             + buffer)
+                cw = prune_pairs(world, cull_dist)
+                known = {tuple(sorted(nm)) for nm in cw.pair_link_names()}
+
+                def _subset(ov):
+                    return {k: v for k, v in ov.items()
+                            if tuple(sorted(k.split(",") if isinstance(k, str)
+                                            else k)) in known}
+                pair_margins = _subset(pair_margins)
+                pair_coeffs = _subset(pair_coeffs)
+            margins_arr = cw.pair_value_array(
+                margin, pair_margins or None)
+            coeffs_arr = cw.pair_value_array(
+                coeffs, pair_coeffs or None)
             if weighted and (params.get("pair_coeffs")
                              or params.get("pair_margins")):
                 raise ValueError(
@@ -309,9 +364,9 @@ def load_problem(doc: dict | str, chain: Chain,
             # inert in the QP — the field is accepted and needs no action.
             if ev <= 1 or T == 1:  # DISCRETE (or single step)
                 term = discrete_collision_term(
-                    name, world, T, first_step=first, last_step=last,
+                    name, cw, T, first_step=first, last_step=last,
                     is_constraint=is_constraint, n_cols=NC,
-                    weighted=weighted)
+                    weighted=weighted, max_contacts=mc, buffer=buffer)
             else:  # LVS_DISCRETE / CONTINUOUS / LVS_CONTINUOUS -> swept
                 # longest_valid_segment_length sets the substate count:
                 # the reference interpolates ceil(dist/lvs)+1 substates per
@@ -326,9 +381,9 @@ def load_problem(doc: dict | str, chain: Chain,
                                   min(int(np.ceil(max_step_dist / float(lvs)))
                                       + 1, n_sub_cap))
                 term = cast_collision_term(
-                    name, world, T, first_step=first, last_step=last,
+                    name, cw, T, first_step=first, last_step=last,
                     n_sub=n_sub_t, is_constraint=is_constraint, n_cols=NC,
-                    weighted=weighted)
+                    weighted=weighted, max_contacts=mc, buffer=buffer)
             return term, pair_p
 
         raise ValueError(f"unsupported term type: {ttype}")
@@ -342,6 +397,22 @@ def load_problem(doc: dict | str, chain: Chain,
 
     spec, data = b.build(X0, init_dt=init_dt)
     params = _opt_params(doc.get("opt_info", {}))
-    if qp is not None:
-        params = SQPParams(**{**params.__dict__, "qp": qp})
+    # backend selection (readBasicInfo "convex_solver",
+    # problem_description.cpp:124 -> createModel solver_interface.cpp:
+    # 305-325): an explicit config name pins the backend; AUTO keeps the
+    # "auto" sentinel so the TRAJOPT_CONVEX_SOLVER env override still
+    # applies at solve time.  Unknown or unported names raise at load.
+    import dataclasses as _dc
+
+    from ..ops.qp import CONVEX_SOLVER_NAMES, resolve_solver
+
+    settings = qp if qp is not None else QPSettings()
+    conv = basic.get("convex_solver")
+    if conv is not None and settings.solver == "auto":
+        mapped = CONVEX_SOLVER_NAMES.get(str(conv).upper())
+        if mapped is None:
+            resolve_solver(str(conv))  # raises with the supported-name list
+        if mapped in ("admm", "ipm"):
+            settings = _dc.replace(settings, solver=mapped)
+    params = SQPParams(**{**params.__dict__, "qp": settings})
     return spec, data, params

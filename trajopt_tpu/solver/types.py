@@ -56,10 +56,10 @@ class SQPParams:
     initial_merit_error_coeff: float = 10.0
     inflate_constraints_individually: bool = True
     trust_box_size: float = 1e-1
-    # expansion cap: once the box exceeds every joint range it is inactive,
-    # so capping changes no iterate — it only avoids wasting shrink rounds
-    # walking an astronomically large box back down after a rejected step
-    max_trust_box_size: float = 10.0
+    # optional expansion cap (opt-in knob; the reference's trust-region
+    # expansion is uncapped, so the default must not change iterates —
+    # joint ranges can exceed any fixed constant)
+    max_trust_box_size: float = float("inf")
     # device-loop safety cap on total QP solves (the reference caps via
     # max_iter per penalty round + bounded trust shrinks; this is a backstop)
     max_total_qp_solves: int = 3000

@@ -34,6 +34,16 @@ def _link_pose_with_offset(chain: Chain, q, link: int, off_R, off_p):
     return Rl @ off_R, Rl @ off_p + pl
 
 
+def _apply_tolerances(err, lo, hi):
+    """Tolerance band on a pose error (tesseract::common::applyTolerances,
+    consumed at kinematic_terms.cpp:92,234): per index, error inside
+    [lo, hi] is zero; outside, it is the distance to the violated bound.
+    Piecewise-linear, so autodiff matches the reference's FD-through-band
+    Jacobians (DynamicCartPoseJacCalculator, kinematic_terms.cpp:158-185)."""
+    return jnp.where(err > hi, err - hi,
+                     jnp.where(err < lo, err - lo, jnp.zeros_like(err)))
+
+
 def cart_pose_term(
     name: str,
     chain: Chain,
@@ -53,6 +63,13 @@ def cart_pose_term(
                                          ``target_link`` is given
       source_off_R (3,3), source_off_p (3,)
       coeffs (6,)                      — [pos_coeffs, rot_coeffs]
+      lower_tols/upper_tols (6,)       — OPTIONAL tolerance band
+                                         (CartPoseTermInfo lower_tolerance /
+                                         upper_tolerance,
+                                         problem_description.hpp:330-373):
+                                         error inside [lo, hi] is zero.
+                                         Presence of BOTH keys enables the
+                                         band (a static pytree property).
     """
     n_dof = chain.n_dof
     nc = n_cols or n_dof
@@ -71,6 +88,9 @@ def cart_pose_term(
                 chain, q, tgt, jnp.asarray(p["target_R"], dtype),
                 jnp.asarray(p["target_p"], dtype))
         err = transform_error(Rt, pt, Rs, ps)
+        if "lower_tols" in p and "upper_tols" in p:
+            err = _apply_tolerances(err, jnp.asarray(p["lower_tols"], dtype),
+                                    jnp.asarray(p["upper_tols"], dtype))
         return err * jnp.asarray(p["coeffs"], dtype)
 
     def fn(x, p):
@@ -96,18 +116,33 @@ def cart_pose_term(
 
 def default_cart_pose_params(target_R=None, target_p=None, pos_coeffs=1.0,
                              rot_coeffs=1.0, source_off_R=None,
-                             source_off_p=None):
+                             source_off_p=None, lower_tols=None,
+                             upper_tols=None):
     eye = jnp.eye(3)
     zero = jnp.zeros(3)
     pos = jnp.broadcast_to(jnp.asarray(pos_coeffs, jnp.float64), (3,))
     rot = jnp.broadcast_to(jnp.asarray(rot_coeffs, jnp.float64), (3,))
-    return {
+    out = {
         "target_R": eye if target_R is None else jnp.asarray(target_R),
         "target_p": zero if target_p is None else jnp.asarray(target_p),
         "source_off_R": eye if source_off_R is None else jnp.asarray(source_off_R),
         "source_off_p": zero if source_off_p is None else jnp.asarray(source_off_p),
         "coeffs": jnp.concatenate([pos, rot]),
     }
+    if lower_tols is not None or upper_tols is not None:
+        lo = jnp.broadcast_to(
+            jnp.asarray(0.0 if lower_tols is None else lower_tols,
+                        jnp.float64), (6,))
+        hi = jnp.broadcast_to(
+            jnp.asarray(0.0 if upper_tols is None else upper_tols,
+                        jnp.float64), (6,))
+        if bool(jnp.any(lo > hi)):
+            raise ValueError(
+                "inverted cart_pose tolerance band: lower > upper "
+                "(validateTolerances, kinematic_terms.cpp:41-56)")
+        out["lower_tols"] = lo
+        out["upper_tols"] = hi
+    return out
 
 
 def cart_line_term(

@@ -34,6 +34,15 @@ def _bcast(v, n, dtype):
     return jnp.broadcast_to(jnp.asarray(v, dtype), (n,))
 
 
+def _coeff_scalar(p, dtype):
+    """Scalar coefficient for weighted (use_weighted_sum) aggregation.
+
+    json_io rejects per-pair coeff overrides when weighted=True, so the
+    (n_pairs,) coeff array is uniform — element 0 is THE coefficient.
+    (Broadcasting a multi-pair array to shape (1,) raised at trace time.)"""
+    return jnp.ravel(jnp.asarray(p["coeffs"], dtype))[0]
+
+
 def _weighted_rows(errs, Js):
     """Error-weighted average of per-pair gradients (the reference's
     weighted-average contact aggregation, trajopt_ifopt/src/constraints/
@@ -47,6 +56,25 @@ def _weighted_rows(errs, Js):
     return max_err, Jrow
 
 
+def _topk_rows(errs, K, buffer, dtype):
+    """Contact reduction: per group (step/gap), keep the K worst rows and
+    deactivate rows outside the contact window (unscaled err < -buffer).
+
+    This is the TPU-native analog of the reference's contact pipeline:
+    tesseract's contact managers only *report* contacts within
+    margin + safety_margin_buffer (CollisionTermInfo::fromJson default 0.5,
+    problem_description.cpp:1630), and the constraint keeps at most
+    max_num_cnt worst of them (collision_types.h:162).  Returns
+    (vals (G,K), idx (G,K), active (G,K)); deactivated rows are clamped to
+    the constant -buffer (zero value, zero gradient — exactly a contact the
+    manager never reported).
+    """
+    vals, idx = jax.lax.top_k(errs, K)  # (G, K) worst-first
+    active = vals >= -jnp.asarray(buffer, dtype)
+    vals = jnp.where(active, vals, -jnp.asarray(buffer, dtype))
+    return vals, idx, active
+
+
 def discrete_collision_term(
     name: str,
     world: CollisionWorld,
@@ -56,10 +84,17 @@ def discrete_collision_term(
     is_constraint: bool = False,
     n_cols: Optional[int] = None,
     weighted: bool = False,
+    max_contacts: Optional[int] = None,
+    buffer: float = 0.5,
 ) -> Term:
     """``weighted=True`` aggregates all pairs of a step into ONE row via
     error-weighted average gradients (reference use_weighted_sum,
-    collision_types.h:130-141 / weighted_average_methods.cpp)."""
+    collision_types.h:130-141 / weighted_average_methods.cpp).
+
+    ``max_contacts`` caps the QP rows per step at the K worst contacts
+    within the ``buffer`` window (see _topk_rows) — per-pair coeffs are
+    folded into the selected rows (coeff * max(0, e) == max(0, coeff * e)
+    for coeff > 0, so values/penalties are unchanged)."""
     n_dof = world.chain.n_dof
     nc = n_cols or n_dof
     last = (n_steps - 1) if last_step is None else last_step
@@ -108,6 +143,43 @@ def discrete_collision_term(
         return step_window(_jac_steps(x, p, cf),
                            first_step + jnp.arange(span), n_steps)
 
+    if max_contacts is not None and max_contacts < P:
+        from ..ops.banded_rows import step_window
+        K = max_contacts
+
+        def sfn(x, p):
+            vals, idx, act = _topk_rows(_errs(x, p), K, buffer, x.dtype)
+            cof = _bcast(p["coeffs"], P, x.dtype)[idx]
+            # deactivated rows become the constant -1: strictly inactive in
+            # the hinge/INEQ model AND in the exact value/violation
+            return jnp.where(act, cof * vals, -1.0).reshape(-1)
+
+        def _sel_jac_steps(x, p):
+            vals, idx, act = _topk_rows(_errs(x, p), K, buffer, x.dtype)
+            Js = _jac_steps(x, p)  # (span, P, nc)
+            cof = _bcast(p["coeffs"], P, x.dtype)[idx]
+            sc = jnp.where(act, cof, 0.0)
+            return jnp.take_along_axis(
+                Js, idx[:, :, None], axis=1) * sc[:, :, None]
+
+        def sjac(x, p):
+            Js = _sel_jac_steps(x, p)
+            J = jnp.zeros((span, K, n_steps, nc), x.dtype)
+            sidx = jnp.arange(span)
+            J = J.at[sidx, :, first_step + sidx, :].set(Js)
+            return J.reshape(span * K, n_steps * nc)
+
+        def sjac_banded(x, p):
+            return step_window(_sel_jac_steps(x, p),
+                               first_step + jnp.arange(span), n_steps)
+
+        if is_constraint:
+            return ineq_constraint(name, span * K, sfn, jac_fn=sjac,
+                                   viol_groups=span, step_coupling=0,
+                                   jac_banded_fn=sjac_banded)
+        return hinge_cost(name, span * K, sfn, jac_fn=sjac,
+                          step_coupling=0, jac_banded_fn=sjac_banded)
+
     if weighted:
         from ..ops.banded_rows import step_window
 
@@ -115,7 +187,7 @@ def discrete_collision_term(
             errs = _errs(x, p)  # (span, P)
             werr = jnp.max(errs, axis=1)
             if is_constraint:
-                werr = werr * _bcast(p["coeffs"], 1, x.dtype)[0]
+                werr = werr * _coeff_scalar(p, x.dtype)
             return werr
 
         def wjac_banded(x, p):
@@ -123,7 +195,7 @@ def discrete_collision_term(
             Js = _jac_steps(x, p)  # (span, P, nc), already negated
             werr, Jrow = _weighted_rows(errs, Js)
             if is_constraint:
-                Jrow = Jrow * _bcast(p["coeffs"], 1, x.dtype)[0]
+                Jrow = Jrow * _coeff_scalar(p, x.dtype)
             return step_window(Jrow[:, None, :],
                                first_step + jnp.arange(span), n_steps)
 
@@ -133,8 +205,8 @@ def discrete_collision_term(
             return bb_to_dense([B], [G], n_steps * nc, nc)
 
         def wwf(p):
-            return _bcast(p["coeffs"], 1, jnp.asarray(p["coeffs"]).dtype
-                          ).repeat(span)
+            c = _coeff_scalar(p, jnp.asarray(p["coeffs"]).dtype)
+            return jnp.full((span,), c)
 
         if is_constraint:
             return ineq_constraint(name, span, wfn, jac_fn=wjac,
@@ -169,6 +241,8 @@ def cast_collision_term(
     is_constraint: bool = False,
     n_cols: Optional[int] = None,
     weighted: bool = False,
+    max_contacts: Optional[int] = None,
+    buffer: float = 0.5,
 ) -> Term:
     """Swept-volume collision over each step gap in [first, last-1].
 
@@ -251,11 +325,67 @@ def cast_collision_term(
         B = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, R, 2*nc)
         return B, first_step + jnp.arange(n_gaps, dtype=jnp.int32)
 
+    if max_contacts is not None and max_contacts < P:
+        # PAIR-level selection: keep the K worst pairs per gap (ranked by
+        # their worst sub-segment error) with ALL their per-segment rows —
+        # the reference's contact granularity is per link-pair set
+        # (max_num_cnt caps contacts WITHIN a pair set, collision_types.h:
+        # 162; pairs outside margin+buffer simply have no contacts).  Row
+        # selection would starve multi-pair scenes: K rows can be one
+        # pair's segments.
+        K = max_contacts
+        KR = n_seg * K
+
+        def _sel(x, p):
+            errs = _errs(x, p).reshape(n_gaps, n_seg, P)
+            key = jnp.max(errs, axis=1)  # (n_gaps, P) worst err per pair
+            _, idx = jax.lax.top_k(key, K)  # (n_gaps, K)
+            vals = jnp.take_along_axis(errs, idx[:, None, :], axis=2)
+            act = vals >= -jnp.asarray(buffer, x.dtype)
+            cof = _bcast(p["coeffs"], P, x.dtype)[idx]  # (n_gaps, K)
+            return idx, vals, act, cof  # vals/act: (n_gaps, n_seg, K)
+
+        def sfn(x, p):
+            idx, vals, act, cof = _sel(x, p)
+            return jnp.where(act, cof[:, None, :] * vals, -1.0).reshape(-1)
+
+        def _sel_jac_gaps(x, p):
+            idx, vals, act, cof = _sel(x, p)
+            Ja_, Jb_ = _jac_gaps(x, p)  # (n_gaps, R, nc)
+            sc = jnp.where(act, cof[:, None, :], 0.0)  # (n_gaps, n_seg, K)
+
+            def g(J):
+                J = J.reshape(n_gaps, n_seg, P, nc)
+                Js = jnp.take_along_axis(J, idx[:, None, :, None], axis=2)
+                return (Js * sc[..., None]).reshape(n_gaps, KR, nc)
+
+            return g(Ja_), g(Jb_)
+
+        def sjac(x, p):
+            Ja_s, Jb_s = _sel_jac_gaps(x, p)
+            J = jnp.zeros((n_gaps, KR, n_steps, nc), x.dtype)
+            g = jnp.arange(n_gaps)
+            J = J.at[g, :, first_step + g, :].set(Ja_s)
+            J = J.at[g, :, first_step + 1 + g, :].set(Jb_s)
+            return J.reshape(n_gaps * KR, n_steps * nc)
+
+        def sjac_banded(x, p):
+            Ja_s, Jb_s = _sel_jac_gaps(x, p)
+            B = jnp.concatenate([Ja_s, Jb_s], axis=-1)  # (n_gaps, KR, 2*nc)
+            return B, first_step + jnp.arange(n_gaps, dtype=jnp.int32)
+
+        if is_constraint:
+            return ineq_constraint(name, n_gaps * KR, sfn, jac_fn=sjac,
+                                   viol_groups=n_gaps, step_coupling=1,
+                                   jac_banded_fn=sjac_banded)
+        return hinge_cost(name, n_gaps * KR, sfn, jac_fn=sjac,
+                          step_coupling=1, jac_banded_fn=sjac_banded)
+
     if weighted:
         def wfn(x, p):
             werr = jnp.max(_errs(x, p), axis=1)  # (n_gaps,)
             if is_constraint:
-                werr = werr * _bcast(p["coeffs"], 1, x.dtype)[0]
+                werr = werr * _coeff_scalar(p, x.dtype)
             return werr
 
         def wjac_banded(x, p):
@@ -264,7 +394,7 @@ def cast_collision_term(
             Js = jnp.concatenate([Ja_, Jb_], axis=-1)  # (n_gaps, R, 2nc)
             werr, Jrow = _weighted_rows(errs, Js)
             if is_constraint:
-                Jrow = Jrow * _bcast(p["coeffs"], 1, x.dtype)[0]
+                Jrow = Jrow * _coeff_scalar(p, x.dtype)
             return (Jrow[:, None, :],
                     first_step + jnp.arange(n_gaps, dtype=jnp.int32))
 
@@ -274,8 +404,8 @@ def cast_collision_term(
             return bb_to_dense([B], [G], n_steps * nc, nc)
 
         def wwf(p):
-            return _bcast(p["coeffs"], 1, jnp.asarray(p["coeffs"]).dtype
-                          ).repeat(n_gaps)
+            c = _coeff_scalar(p, jnp.asarray(p["coeffs"]).dtype)
+            return jnp.full((n_gaps,), c)
 
         if is_constraint:
             return ineq_constraint(name, n_gaps, wfn, jac_fn=wjac,
