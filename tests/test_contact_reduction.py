@@ -181,3 +181,57 @@ def test_convex_solver_config_selects_backend():
     doc["basic_info"]["convex_solver"] = "AUTO_SOLVER"
     _, _, params = load_problem(doc, chain, world)
     assert params.qp.solver == "auto"
+
+
+ROTOR_URDF = """
+<robot name="rotor">
+  <link name="base"/>
+  <link name="rod">
+    <collision>
+      <origin xyz="0.5 0 0" rpy="0 1.5707963267948966 0"/>
+      <geometry><cylinder radius="0.05" length="1.0"/></geometry>
+    </collision>
+  </link>
+  <link name="obstacle">
+    <collision>
+      <origin xyz="0.45 0.45 0" rpy="0 0 0"/>
+      <geometry><box size="0.1 0.1 0.1"/></geometry>
+    </collision>
+  </link>
+  <joint name="spin" type="revolute">
+    <parent link="base"/><child link="rod"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/><axis xyz="0 0 1"/>
+    <limit lower="-3.14" upper="3.14" effort="1" velocity="1"/>
+  </joint>
+  <joint name="obs_j" type="fixed">
+    <parent link="base"/><child link="obstacle"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/>
+  </joint>
+</robot>
+"""
+
+
+def test_rotating_link_hull_cast_detects_sweep():
+    """A rod spinning 90 deg past an obstacle on the diagonal INSIDE the
+    two-pose hull: both endpoint poses are clear, but the reference cast's
+    swept-volume convex hull (collision_terms.cpp:1362-1365) contains the
+    obstacle — the hull cast must report contact even at n_sub=2, where a
+    substate-min over the two endpoints would miss it entirely."""
+    from trajopt_tpu.kinematics.chain import build_chain
+    from trajopt_tpu.kinematics.urdf import parse_urdf
+
+    m = parse_urdf(ROTOR_URDF)
+    chain = build_chain(m, ["spin"])
+    world = build_collision_world(m, chain)
+    assert world.n_pairs == 1
+    qa = jnp.asarray([0.0])
+    qb = jnp.asarray([np.pi / 2])
+    # endpoints are clear of the obstacle
+    assert float(world.pair_distances(qa)[0]) > 0.2
+    assert float(world.pair_distances(qb)[0]) > 0.2
+    # the two-pose hull contains the diagonal obstacle
+    d_cast = float(world.cast_pair_distances(qa, qb, 2)[0])
+    assert d_cast < 0.0, d_cast
+    # fine subdivision agrees that the motion is in collision
+    d_seg = np.asarray(world.cast_pair_distances_seg(qa, qb, 16))
+    assert d_seg.min() < 0.0

@@ -237,12 +237,47 @@ class CollisionWorld:
         wb = self._world_kind_arrays(Rb, pb, dt)
         return self._exact_sweep_overrides(wa, wb, d_min)
 
+    def _vert_sets(self, wk, kind, sel, wk_b=None):
+        """Support vertex set + radius for geometries ``sel`` of ``kind``
+        from world-kind arrays: (verts (k, V, 3), radius (k,)).  With
+        ``wk_b`` given, returns the TWO-POSE stacked set — the support set
+        of conv(A(qa) ∪ A(qb)), the reference cast's swept-volume convex
+        hull (collision_terms.cpp:1362-1365): support(conv(A∪B), u) =
+        max(support(A,u), support(B,u)), i.e. just the stacked vertices."""
+        def one(w):
+            A = self._take(w, kind, sel)
+            if kind == SPHERE:
+                return A[0][:, None, :], A[1]
+            if kind == CAPSULE:
+                return jnp.stack([A[0], A[1]], axis=1), A[2]
+            if kind == BOX:
+                return jax.vmap(G.box_vertices)(A[0], A[1], A[2]), \
+                    jnp.zeros(A[0].shape[0], A[0].dtype)
+            return A[0], A[1]
+
+        Va, r = one(wk)
+        if wk_b is None:
+            return Va, r
+        Vb, _ = one(wk_b)
+        return jnp.concatenate([Va, Vb], axis=1), r
+
     def _exact_sweep_overrides(self, wa, wb, d_min) -> jax.Array:
-        """Replace the substate-min distance with the exact swept distance
-        for the pair cases where one exists: a moving sphere against static
-        geometry (the swept volume of a sphere is a capsule) and
-        translating boxes (zonotope SAT).  ``wa``/``wb`` are the canonical
-        world-kind arrays at the motion endpoints."""
+        """Replace the substate-min distance with the swept distance over
+        the motion for every pair with a moving side:
+
+        * moving sphere vs static geometry: EXACT (the swept volume of a
+          sphere is a capsule) — dedicated capsule kernels;
+        * translating box vs static box: EXACT zonotope SAT;
+        * everything else: the reference's cast semantics — signed distance
+          to the CONVEX HULL OF THE TWO POSES (CastCollisionEvaluator,
+          collision_terms.cpp:1362-1365; Schulman et al. RSS 2013 §4's
+          swept-volume approximation), via stacked support vertex sets.
+          Hull-of-poses equals the true sweep for translations; rotation
+          error is bounded by the per-segment subdivision exactly as in
+          the reference's LVS pipeline.
+
+        ``wa``/``wb`` are the canonical world-kind arrays at the motion
+        endpoints."""
         moving = self.chain.ancestor.any(axis=1)
         translation_only = not bool(
             (np.asarray(self.chain.jtype)[np.asarray(self.chain.link_of_dof)]
@@ -251,11 +286,17 @@ class CollisionWorld:
                     for k, idx in self._kind_idx.items()}
 
         out = d_min
-        # exact sweeps, batched per case
-        sphere_cases = {}  # static grouping: (other_kind) -> [(pair_pos, s_idx, o_idx)]
+        # static case grouping
+        sphere_cases = {}  # other_kind -> [(pair_pos, s_idx, o_idx)]
         boxbox_cases = []
+        # hull-of-two-poses cast: (kind_a, kind_b, mov_a, mov_b) ->
+        #   [(pair_pos, a_idx_in_kind, b_idx_in_kind)]
+        hull_cases = {}
         for k, (i, j) in enumerate(self.pairs):
             gi, gj = self.geoms[i], self.geoms[j]
+            if not (moving[gi.link] or moving[gj.link]):
+                continue
+            matched = False
             for a_idx, b_idx in ((i, j), (j, i)):
                 a, b = self.geoms[a_idx], self.geoms[b_idx]
                 if moving[b.link] or not moving[a.link]:
@@ -263,11 +304,19 @@ class CollisionWorld:
                 if a.kind == SPHERE:
                     sphere_cases.setdefault(b.kind, []).append(
                         (k, kind_pos[SPHERE][a_idx], kind_pos[b.kind][b_idx]))
+                    matched = True
                     break
                 if a.kind == BOX and b.kind == BOX and translation_only:
                     boxbox_cases.append(
                         (k, kind_pos[BOX][a_idx], kind_pos[BOX][b_idx]))
+                    matched = True
                     break
+            if matched:
+                continue
+            key = (gi.kind, gj.kind, bool(moving[gi.link]),
+                   bool(moving[gj.link]))
+            hull_cases.setdefault(key, []).append(
+                (k, kind_pos[gi.kind][i], kind_pos[gj.kind][j]))
 
         for okind, cases in sphere_cases.items():
             pos = np.array([c[0] for c in cases])
@@ -300,6 +349,18 @@ class CollisionWorld:
                 wa[BOX][0][ai], wb[BOX][0][ai], wa[BOX][1][ai], wa[BOX][2][ai],
                 wa[BOX][0][bi], wa[BOX][1][bi], wa[BOX][2][bi])
             out = out.at[pos].set(d)
+
+        for (ka, kb, mov_a, mov_b), cases in hull_cases.items():
+            pos = np.array([c[0] for c in cases])
+            ai = np.array([c[1] for c in cases])
+            bi = np.array([c[2] for c in cases])
+            VA, rA = self._vert_sets(wa, ka, ai, wb if mov_a else None)
+            VB, rB = self._vert_sets(wa, kb, bi, wb if mov_b else None)
+            d = jax.vmap(G.d_convex_convex)(VA, rA, VB, rB)
+            # the hull distance can only be <= every substate distance;
+            # keep the min in case the FW iteration returns a slightly
+            # larger (unconverged) separation than an interpolated substate
+            out = out.at[pos].min(d)
         return out
 
 

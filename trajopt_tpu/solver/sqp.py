@@ -441,15 +441,23 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     dt = x0.dtype
     cost_vals0, viols0 = _evaluate(spec, data, x0)
     merit0 = jnp.full((n_cnt,), p.initial_merit_error_coeff, dt)
+    box0 = jnp.asarray(p.trust_box_size, dt)
+    pen_it0 = jnp.int32(0)
+    it0 = jnp.int32(0)
+    if data.resume is not None:  # mid-solve restart (two-phase batching)
+        merit0 = jnp.asarray(data.resume["merit"], dt)
+        box0 = jnp.asarray(data.resume["box"], dt)
+        pen_it0 = jnp.asarray(data.resume["penalty_it"], jnp.int32)
+        it0 = jnp.asarray(data.resume["it"], jnp.int32)
 
     st0 = _State(
         x=x0,
-        box=jnp.asarray(p.trust_box_size, dt),
+        box=box0,
         merit=merit0,
         cost_vals=cost_vals0,
         cnt_viols=viols0,
-        it=jnp.int32(0),
-        penalty_it=jnp.int32(0),
+        it=it0,
+        penalty_it=pen_it0,
         qp_fails=jnp.int32(0),
         n_qp=jnp.int32(0),
         n_admm=jnp.int32(0),
@@ -675,6 +683,8 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         n_admm_iters=st.n_admm,
         merit_coeffs=st.merit,
         trust_box_size=st.box,
+        sqp_it=st.it,
+        penalty_it=st.penalty_it,
         history=st.hist,
         history_x=st.hist_x,
     )

@@ -128,6 +128,14 @@ class ProblemData(NamedTuple):
     ub: jax.Array  # (n_x,)
     cost_params: tuple  # pytree params per cost term, in spec order
     cnt_params: tuple  # pytree params per constraint term, in spec order
+    # optional mid-solve resume state (None = fresh solve): a dict with
+    # "merit" (n_entries,), "box" (), "penalty_it" () int32, "it" () int32 —
+    # the solver state beyond the iterate itself (which goes in x0).  Used
+    # by two-phase batched solves (run all lanes N iterations, compact the
+    # stragglers, continue them in a smaller batch) and by
+    # utils.checkpoint restore; the reference analog is GIVEN_TRAJ resume +
+    # OSQP warm starts (SURVEY §5.4).
+    resume: Any = None
 
 
 class SQPResult(NamedTuple):
@@ -143,5 +151,7 @@ class SQPResult(NamedTuple):
     n_admm_iters: jax.Array  # () int32 total inner ADMM iterations
     merit_coeffs: jax.Array  # (n_cnt,) final penalty coefficients
     trust_box_size: jax.Array  # () final trust region size
+    sqp_it: jax.Array  # () int32 accepted steps in the current penalty round
+    penalty_it: jax.Array  # () int32 merit-coefficient increases so far
     history: jax.Array  # (record_history, len(HISTORY_FIELDS)); (0, F) if off
     history_x: jax.Array  # (record_history, n_x) iterates; (0, n_x) if off
