@@ -30,20 +30,24 @@ import numpy as np
 
 
 def main():
+    import os
+
     from trajopt_tpu.benchmarks import bench_params, make_glass_upright
-    from trajopt_tpu.solver.sqp import _solve
+    from trajopt_tpu.solver.sqp import solve_batch_compact
     from trajopt_tpu.solver.types import CONVERGED
     from trajopt_tpu.terms.collision import trajectory_in_collision
 
-    batch = 128
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_steps = 30
     spec, data, _, world = make_glass_upright(batch=batch, n_steps=n_steps,
                                               dtype=jnp.float32)
     params = bench_params()
 
-    @jax.jit
+    # two-phase straggler compaction: most lanes finish in ~6 QP solves;
+    # phase 1 runs everyone to an 8-solve budget, phase 2 resumes only the
+    # unconverged tail in a small compacted batch (lockstep-tail fix)
     def run(d):
-        return jax.vmap(lambda dd: _solve(spec, params, dd))(d)
+        return solve_batch_compact(spec, d, params, phase_qp_solves=8)
 
     # compile + warm up
     res = run(data)
@@ -66,7 +70,8 @@ def main():
     X = res.x.reshape(batch, n_steps, -1)
     min_dist = np.asarray(jax.jit(jax.vmap(
         lambda x: trajectory_in_collision(world, x)))(X))
-    ok = (status == CONVERGED) & (viols.max(axis=1) < 1e-3) & (min_dist >= 0.0)
+    # viol gate = the reference's cnt_tolerance (1e-4), not a loosened one
+    ok = (status == CONVERGED) & (viols.max(axis=1) < 1e-4) & (min_dist >= 0.0)
     n_ok = int(ok.sum())
     solves_per_sec = n_ok / dt
 

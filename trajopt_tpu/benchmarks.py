@@ -60,7 +60,11 @@ def bench_params(dtype=jnp.float32) -> SQPParams:
 
 
 def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
-                       n_sub: int = 4, seed: int = 0):
+                       n_sub: int = 2, seed: int = 0):
+    # n_sub=2 = ONE exact hull-of-two-poses cast per step gap: with the
+    # feature-enumeration cast kernel the swept volume of the whole gap
+    # motion is checked exactly (up to rotation sag, small at 30 steps);
+    # the bench gate re-verifies every lane independently at n_sub=16.
     """Returns (spec, batched ProblemData, chain, world)."""
     model, chain = arm7()
     world = build_collision_world(model, chain)

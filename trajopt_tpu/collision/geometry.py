@@ -284,3 +284,214 @@ def d_box_box(c1, R1, h1, c2, R2, h2):
         sep = jnp.abs(jnp.dot(u, d)) - (ra + rb)
         seps.append(jnp.where(valid, sep, -jnp.inf))
     return jnp.max(jnp.stack(seps))
+
+
+# ---------------------------------------------------------------------------
+# Feature-enumeration exact distance for SMALL polytopes (the cast hot path)
+# ---------------------------------------------------------------------------
+#
+# The hull-of-two-poses cast (d_convex_convex) runs a 24-step Frank-Wolfe
+# scan per pair x segment x gap x lane — a sequential loop that dominated
+# the flagship convexify/evaluate wall (~80%).  For the vertex sets the
+# cast actually sees (two-pose capsules = 4 verts, static capsules = 2,
+# static boxes = 8), the closest pair of two DISJOINT convex polytopes is
+# attained at (vertex, face), (edge, edge), (vertex, edge) or
+# (vertex, vertex) features, ALL of which are enumerable with *static*
+# index arrays: the minimum over every edge-edge segment distance and every
+# vertex-triangle distance IS the exact polytope distance — zero
+# iterations, one fused kernel, trivially vmappable.  Separation is decided
+# exactly by the supporting-plane test on the witness direction (two convex
+# sets are disjoint iff the plane normal to the closest-pair direction
+# separates their vertex sets); penetration depth reuses the 26-direction
+# support cover of d_convex_convex.  This replaces FW wherever the
+# topology is known statically; CONVEX meshes and rotating two-pose boxes
+# keep the FW path.
+
+
+def _point_tri_closest(p, a, b, c):
+    """Closest point on triangle abc to p (Ericson RTCD 5.1.5, branchless
+    where-cascade).  Degenerate (collinear) triangles resolve to vertex /
+    edge regions, whose distances the edge-edge candidates cover anyway."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.dot(ab, ap)
+    d2 = jnp.dot(ac, ap)
+    bp = p - b
+    d3 = jnp.dot(ab, bp)
+    d4 = jnp.dot(ac, bp)
+    cp = p - c
+    d5 = jnp.dot(ab, cp)
+    d6 = jnp.dot(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom_face = va + vb + vc
+    face_ok = jnp.abs(denom_face) > _EPS
+    v = jnp.where(face_ok, vb / jnp.where(face_ok, denom_face, 1.0), 0.0)
+    w = jnp.where(face_ok, vc / jnp.where(face_ok, denom_face, 1.0), 0.0)
+    q = a + v * ab + w * ac  # interior-face projection (default)
+
+    # edge regions (overwrite in increasing priority)
+    w_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), _EPS),
+                    0.0, 1.0)
+    q = jnp.where((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0),
+                  b + w_bc * (c - b), q)
+    w_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, _EPS), 0.0, 1.0)
+    q = jnp.where((vb <= 0) & (d2 >= 0) & (d6 <= 0), a + w_ac * ac, q)
+    v_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, _EPS), 0.0, 1.0)
+    q = jnp.where((vc <= 0) & (d1 >= 0) & (d3 <= 0), a + v_ab * ab, q)
+    # vertex regions
+    q = jnp.where((d6 >= 0) & (d5 <= d6), c, q)
+    q = jnp.where((d3 >= 0) & (d4 <= d3), b, q)
+    q = jnp.where((d1 <= 0) & (d2 <= 0), a, q)
+    return q
+
+
+def small_hull_topology(n_verts: int):
+    """(edges, tris) static index arrays for the cast's small vertex sets.
+
+    n_verts 1/2: point / segment (no 2-faces); 4: two-pose capsule hull
+    (all vertex pairs / triples — supersets of the true hull features are
+    sound: every candidate lies inside the hull, so its distance can only
+    overestimate, and the true closest features are included); 8: oriented
+    box in ``box_vertices`` bit ordering (12 edges, 12 face triangles)."""
+    import itertools
+    import numpy as _np
+    if n_verts == 1:
+        return _np.zeros((1, 2), _np.int32), _np.zeros((0, 3), _np.int32)
+    if n_verts == 2:
+        return _np.array([[0, 1]], _np.int32), _np.zeros((0, 3), _np.int32)
+    if n_verts == 4:
+        E = _np.array(list(itertools.combinations(range(4), 2)), _np.int32)
+        T = _np.array(list(itertools.combinations(range(4), 3)), _np.int32)
+        return E, T
+    if n_verts == 8:
+        # box_vertices ordering: index bits (b0,b1,b2) = sign of (x,y,z)
+        E = _np.array([(i, i ^ m) for i in range(8) for m in (1, 2, 4)
+                       if i < (i ^ m)], _np.int32)
+        T = []
+        for bit in (1, 2, 4):
+            lo = [m for m in (1, 2, 4) if m != bit]
+            for val in (0, bit):
+                q00, q01 = val, val | lo[1]
+                q11, q10 = val | lo[0] | lo[1], val | lo[0]
+                T.append((q00, q01, q11))
+                T.append((q00, q11, q10))
+        return E, _np.array(T, _np.int32)
+    raise ValueError(f"no static topology for {n_verts} vertices")
+
+
+def make_feature_distance(n1: int, n2: int):
+    """Build the exact feature-enumeration signed distance for vertex-set
+    sizes (n1, n2): ``fn(V1, r1, V2, r2) -> signed distance`` between
+    conv(V1)⊕r1 and conv(V2)⊕r2.  Replaces d_convex_convex on the cast hot
+    path for statically-known small topologies (see module note above).
+
+    Autodiff cost: the full candidate sweep + argmin runs on
+    ``stop_gradient``-ed vertices (zero tangents — XLA dead-code-eliminates
+    it from every Jacobian column); only the WINNING candidate's closed form
+    is recomputed differentiably, so each tangent pays one segseg or one
+    point-tri, not the whole enumeration (the same envelope treatment as
+    the FW path's ``_fw_weights`` custom_jvp)."""
+    import numpy as _np
+    E1, T1 = small_hull_topology(n1)
+    E2, T2 = small_hull_topology(n2)
+    U = jnp.asarray(_PEN_DIRS)  # (26,3)
+
+    # static candidate -> feature-index tables (flat candidate order below:
+    # [ee block | v1-t2 block | v2-t1 block])
+    ct, ia, ib = [], [], []
+    for i in range(len(E1)):
+        for j in range(len(E2)):
+            ct.append(0), ia.append(i), ib.append(j)
+    for i in range(n1):
+        for j in range(len(T2)):
+            ct.append(1), ia.append(i), ib.append(j)
+    for i in range(n2):
+        for j in range(len(T1)):
+            ct.append(2), ia.append(i), ib.append(j)
+    CT = jnp.asarray(_np.array(ct, _np.int32))
+    IA = jnp.asarray(_np.array(ia, _np.int32))
+    IB = jnp.asarray(_np.array(ib, _np.int32))
+    E1j, T1j = jnp.asarray(E1), jnp.asarray(T1.reshape(-1, 3))
+    E2j, T2j = jnp.asarray(E2), jnp.asarray(T2.reshape(-1, 3))
+
+    def _candidates(V1, V2):
+        A1, B1 = V1[E1[:, 0]], V1[E1[:, 1]]  # (e1,3)
+        A2, B2 = V2[E2[:, 0]], V2[E2[:, 1]]  # (e2,3)
+        p_ee, q_ee = jax.vmap(
+            lambda a1, b1: jax.vmap(
+                lambda a2, b2: _seg_seg_closest(a1, b1, a2, b2))(A2, B2)
+        )(A1, B1)
+        P = [p_ee.reshape(-1, 3)]
+        Q = [q_ee.reshape(-1, 3)]
+        if len(T2):
+            t2a, t2b, t2c = V2[T2[:, 0]], V2[T2[:, 1]], V2[T2[:, 2]]
+            q_vt = jax.vmap(lambda p: jax.vmap(
+                lambda a, b, c: _point_tri_closest(p, a, b, c)
+            )(t2a, t2b, t2c))(V1)  # (n1, t2, 3)
+            P.append(jnp.broadcast_to(V1[:, None, :],
+                                      q_vt.shape).reshape(-1, 3))
+            Q.append(q_vt.reshape(-1, 3))
+        if len(T1):
+            t1a, t1b, t1c = V1[T1[:, 0]], V1[T1[:, 1]], V1[T1[:, 2]]
+            p_vt = jax.vmap(lambda p: jax.vmap(
+                lambda a, b, c: _point_tri_closest(p, a, b, c)
+            )(t1a, t1b, t1c))(V2)  # (n2, t1, 3)
+            Q.append(jnp.broadcast_to(V2[:, None, :],
+                                      p_vt.shape).reshape(-1, 3))
+            P.append(p_vt.reshape(-1, 3))
+        return jnp.concatenate(P, 0), jnp.concatenate(Q, 0)
+
+    def fn(V1, r1, V2, r2):
+        dt = V1.dtype
+        V1c = jax.lax.stop_gradient(V1)
+        V2c = jax.lax.stop_gradient(V2)
+        Pa, Qa = _candidates(V1c, V2c)
+        d2 = jnp.sum((Pa - Qa) ** 2, axis=1)
+        k = jnp.argmin(d2)
+        ck, ak, bk = CT[k], IA[k], IB[k]
+
+        # differentiable recompute of ONLY the winning candidate
+        e1 = E1j[jnp.where(ck == 0, ak, jnp.where(ck == 2, bk, 0))]
+        e2 = E2j[jnp.where(ck == 0, bk, 0)]
+        p_ee, q_ee = _seg_seg_closest(V1[e1[0]], V1[e1[1]],
+                                      V2[e2[0]], V2[e2[1]])
+        if len(T2):
+            t2 = T2j[jnp.where(ck == 1, bk, 0)]
+            v1 = V1[jnp.where(ck == 1, ak, 0)]
+            q_vt = _point_tri_closest(v1, V2[t2[0]], V2[t2[1]], V2[t2[2]])
+        if len(T1):
+            t1 = T1j[jnp.where(ck == 2, bk, 0)]
+            v2 = V2[jnp.where(ck == 2, ak, 0)]
+            p_tv = _point_tri_closest(v2, V1[t1[0]], V1[t1[1]], V1[t1[2]])
+        p_star, q_star = p_ee, q_ee
+        if len(T2):
+            p_star = jnp.where(ck == 1, v1, p_star)
+            q_star = jnp.where(ck == 1, q_vt, q_star)
+        if len(T1):
+            p_star = jnp.where(ck == 2, p_tv, p_star)
+            q_star = jnp.where(ck == 2, v2, q_star)
+        gap = _safe_norm(p_star - q_star)
+
+        # exact separation predicate (non-differentiable by construction):
+        # the plane normal to the closest-pair direction must separate the
+        # vertex sets (supporting-plane property of the true closest pair;
+        # any overlap makes every projection overlap)
+        gap_c = jnp.sqrt(jnp.maximum(d2[k], _EPS))
+        n = (Qa[k] - Pa[k]) / jnp.maximum(gap_c, _EPS)
+        margin = jnp.min(V2c @ n) - jnp.max(V1c @ n)
+        sep = (gap_c > jnp.asarray(1e-6, dt)) & \
+            (margin > jnp.asarray(-1e-6, dt) * jnp.maximum(gap_c, 1.0))
+
+        # penetration depth: 26-direction support cover (same conservative
+        # overestimate as d_convex_convex); argmax/argmin picks carry the
+        # gradient of the selected support plane only
+        Ud = U.astype(dt)
+        h = jnp.max(V1 @ Ud.T, axis=0) + jnp.max(-(V2 @ Ud.T), axis=0)
+        depth = jnp.min(h)
+        return jnp.where(sep, gap, -depth) - (r1 + r2)
+
+    return fn

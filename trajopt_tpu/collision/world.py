@@ -350,16 +350,31 @@ class CollisionWorld:
                 wa[BOX][0][bi], wa[BOX][1][bi], wa[BOX][2][bi])
             out = out.at[pos].set(d)
 
+        def _small_n(kind, mov):
+            """Static vertex count of the (possibly two-pose) hull, or None
+            when no static feature topology exists (CONVEX meshes, rotating
+            two-pose boxes) and the Frank-Wolfe path must be used."""
+            base = {SPHERE: 1, CAPSULE: 2, BOX: 8}.get(kind)
+            if base is None or (kind == BOX and mov):
+                return None
+            return base * (2 if mov else 1)
+
         for (ka, kb, mov_a, mov_b), cases in hull_cases.items():
             pos = np.array([c[0] for c in cases])
             ai = np.array([c[1] for c in cases])
             bi = np.array([c[2] for c in cases])
             VA, rA = self._vert_sets(wa, ka, ai, wb if mov_a else None)
             VB, rB = self._vert_sets(wa, kb, bi, wb if mov_b else None)
-            d = jax.vmap(G.d_convex_convex)(VA, rA, VB, rB)
+            na, nb = _small_n(ka, mov_a), _small_n(kb, mov_b)
+            if na is not None and nb is not None:
+                # iteration-free exact feature enumeration (the cast hot
+                # path: two-pose capsules / spheres vs capsules / boxes)
+                d = jax.vmap(G.make_feature_distance(na, nb))(VA, rA, VB, rB)
+            else:
+                d = jax.vmap(G.d_convex_convex)(VA, rA, VB, rB)
             # the hull distance can only be <= every substate distance;
-            # keep the min in case the FW iteration returns a slightly
-            # larger (unconverged) separation than an interpolated substate
+            # keep the min in case an (FW-unconverged or fp-noise) estimate
+            # comes out slightly larger than an interpolated substate
             out = out.at[pos].min(d)
         return out
 
