@@ -712,25 +712,31 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
                         params: SQPParams = SQPParams(),
                         phase_qp_solves: int = 8,
                         min_bucket: int = 8) -> SQPResult:
-    """Batched solve with host-side straggler compaction.
+    """Batched solve with host-side straggler compaction (multi-phase).
 
     A vmapped ``while_loop`` runs every lane until the SLOWEST lane
     finishes: with a mean of ~6 QP solves but a max of ~19 on flagship
     batches, ~2/3 of device time is converged lanes idling in lockstep.
-    This driver runs phase 1 under a reduced QP-solve budget
-    (``phase_qp_solves``), retires every lane that reached a terminal
-    status, gathers the stragglers into a power-of-two bucket (fixed
-    bucket sizes keep the compile count logarithmic), and resumes them
-    mid-solve via ``ProblemData.resume`` (merit coeffs, trust box,
-    iteration counters restored — the iterate sequence of each lane is
-    identical to the single-phase solve, only its batch neighbors change).
+    This driver runs phases of ``phase_qp_solves`` QP solves each: after
+    every phase it retires the lanes that reached a terminal status,
+    gathers the stragglers into a power-of-two bucket (fixed bucket sizes
+    keep the compile count logarithmic), and resumes them mid-solve via
+    ``ProblemData.resume`` (merit coeffs, trust box, iteration counters
+    restored — the iterate sequence of each lane is identical to the
+    single-phase solve, only its batch neighbors change).  Compaction
+    recurses until the bucket stops shrinking (<= ``min_bucket`` or no
+    compaction possible), at which point the remaining budget runs in one
+    final phase.
 
-    Requires ``phase_qp_solves < params.max_iter`` so a phase-1
-    ``SCO_ITERATION_LIMIT`` status can only mean "budget exhausted, still
-    running" (the backstop at the bottom of ``_solve``), never the
-    reference's terminal in-penalty-round iteration limit
-    (optimizers.cpp:911-930) — the two must not be conflated when deciding
-    which lanes to resume.
+    Requires ``phase_qp_solves < params.max_iter`` so a phase-boundary
+    ``SCO_ITERATION_LIMIT`` status on a lane with ``sqp_it < max_iter``
+    can only mean "budget exhausted, still running" (the backstop at the
+    bottom of ``_solve``), never the reference's terminal in-penalty-round
+    iteration limit (optimizers.cpp:911-930) — the two must not be
+    conflated when deciding which lanes to resume.  (A terminal iteration
+    limit always leaves ``sqp_it == max_iter``; the backstop cannot, since
+    accepted steps per phase <= phase_qp_solves < max_iter and ``it``
+    resumes across phases.)
     """
     import numpy as np
 
@@ -740,54 +746,63 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
             f"max_iter={params.max_iter}) for resumable-status detection")
     batch = data.x0.shape[0]
     total_budget = params.max_total_qp_solves
-    p1 = dataclasses.replace(params,
-                             max_total_qp_solves=min(phase_qp_solves,
-                                                     total_budget))
+    budget = min(phase_qp_solves, total_budget)
+    p1 = dataclasses.replace(params, max_total_qp_solves=budget)
     res = _solve_batch_jit(spec, p1, data)
-    if phase_qp_solves >= total_budget:
-        return res
+    spent = budget
+    prev_bucket = batch
 
-    status = np.asarray(res.status)
-    n_qp = np.asarray(res.n_qp_solves)
-    # resumable = hit the phase-1 budget while still RUNNING (see docstring)
-    idx = np.where((status == SCO_ITERATION_LIMIT)
-                   & (n_qp >= p1.max_total_qp_solves))[0]
-    if idx.size == 0:
-        return res
+    while spent < total_budget:
+        status = np.asarray(res.status)
+        n_qp = np.asarray(res.n_qp_solves)
+        sqp_it = np.asarray(res.sqp_it)
+        # resumable = exhausted every phase budget so far while still
+        # RUNNING (see docstring); terminal iteration limits are excluded
+        # by sqp_it < max_iter
+        idx = np.where((status == SCO_ITERATION_LIMIT) & (n_qp >= spent)
+                       & (sqp_it < params.max_iter))[0]
+        if idx.size == 0:
+            return res
 
-    bucket = max(min_bucket, 1 << int(idx.size - 1).bit_length())
-    bucket = min(bucket, batch)
-    pad = np.resize(idx, bucket)  # first idx.size entries are exactly idx
-    take = lambda a: a[pad] if a is not None else None
-    d2 = jax.tree.map(take, data)
-    d2 = d2._replace(
-        x0=res.x[pad],
-        resume={
-            "merit": res.merit_coeffs[pad],
-            "box": res.trust_box_size[pad],
-            "penalty_it": res.penalty_it[pad],
-            "it": res.sqp_it[pad],
-        })
-    p2 = dataclasses.replace(params,
-                             max_total_qp_solves=total_budget
-                             - p1.max_total_qp_solves)
-    res2 = _solve_batch_jit(spec, p2, d2)
+        bucket = max(min_bucket, 1 << int(idx.size - 1).bit_length())
+        bucket = min(bucket, batch)
+        remaining = total_budget - spent
+        if bucket >= prev_bucket or bucket <= min_bucket:
+            # compaction exhausted — run the remainder in one phase
+            budget = remaining
+        else:
+            budget = min(phase_qp_solves, remaining)
+        pad = np.resize(idx, bucket)  # first idx.size entries are idx
+        take = lambda a: a[pad] if a is not None else None
+        d2 = jax.tree.map(take, data)
+        d2 = d2._replace(
+            x0=res.x[pad],
+            resume={
+                "merit": res.merit_coeffs[pad],
+                "box": res.trust_box_size[pad],
+                "penalty_it": res.penalty_it[pad],
+                "it": res.sqp_it[pad],
+            })
+        p2 = dataclasses.replace(params, max_total_qp_solves=budget)
+        res2 = _solve_batch_jit(spec, p2, d2)
+        spent += budget
+        prev_bucket = bucket
 
-    n = idx.size
-    sl = lambda a: a[:n]
-    merged = res._replace(
-        x=res.x.at[idx].set(sl(res2.x)),
-        status=res.status.at[idx].set(sl(res2.status)),
-        cost_vals=res.cost_vals.at[idx].set(sl(res2.cost_vals)),
-        cnt_viols=res.cnt_viols.at[idx].set(sl(res2.cnt_viols)),
-        total_cost=res.total_cost.at[idx].set(sl(res2.total_cost)),
-        n_func_evals=res.n_func_evals.at[idx].add(sl(res2.n_func_evals)),
-        n_qp_solves=res.n_qp_solves.at[idx].add(sl(res2.n_qp_solves)),
-        n_admm_iters=res.n_admm_iters.at[idx].add(sl(res2.n_admm_iters)),
-        merit_coeffs=res.merit_coeffs.at[idx].set(sl(res2.merit_coeffs)),
-        trust_box_size=res.trust_box_size.at[idx].set(
-            sl(res2.trust_box_size)),
-        sqp_it=res.sqp_it.at[idx].set(sl(res2.sqp_it)),
-        penalty_it=res.penalty_it.at[idx].set(sl(res2.penalty_it)),
-    )
-    return merged
+        n = idx.size
+        sl = lambda a: a[:n]
+        res = res._replace(
+            x=res.x.at[idx].set(sl(res2.x)),
+            status=res.status.at[idx].set(sl(res2.status)),
+            cost_vals=res.cost_vals.at[idx].set(sl(res2.cost_vals)),
+            cnt_viols=res.cnt_viols.at[idx].set(sl(res2.cnt_viols)),
+            total_cost=res.total_cost.at[idx].set(sl(res2.total_cost)),
+            n_func_evals=res.n_func_evals.at[idx].add(sl(res2.n_func_evals)),
+            n_qp_solves=res.n_qp_solves.at[idx].add(sl(res2.n_qp_solves)),
+            n_admm_iters=res.n_admm_iters.at[idx].add(sl(res2.n_admm_iters)),
+            merit_coeffs=res.merit_coeffs.at[idx].set(sl(res2.merit_coeffs)),
+            trust_box_size=res.trust_box_size.at[idx].set(
+                sl(res2.trust_box_size)),
+            sqp_it=res.sqp_it.at[idx].set(sl(res2.sqp_it)),
+            penalty_it=res.penalty_it.at[idx].set(sl(res2.penalty_it)),
+        )
+    return res
