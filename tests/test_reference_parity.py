@@ -45,20 +45,10 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(DATA), reason="reference data not available")
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """Writing the PR2 solve executables to the persistent compile cache
-    segfaults inside jax's serialize/compress path (reproducible on this
-    image's XLA:CPU for these two programs specifically, at
-    compilation_cache.put_executable_and_time).  The cache is a
-    convenience, not a correctness feature — turn it off for this module."""
-    import jax
-    from jax._src import compilation_cache as _cc
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()  # the enabled decision is memoized once per process
-    yield
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
+# Persistent-cache note: writing the PR2 solve executables to the cache
+# used to segfault inside jax's zstandard compress path; conftest.py now
+# forces the (stable) zlib fallback, so the cache stays ON here and reruns
+# of these heavy compiles are fast.
 
 
 def _cfg(name):

@@ -118,6 +118,37 @@ def bb_to_dense(Bs, Gs, n: int, b: int) -> jax.Array:
             else jnp.zeros((0, n), jnp.float32))
 
 
+def regroup(B: jax.Array, G: jax.Array, bs: int, c: int, nsb: int):
+    """Regroup fine windows to 2-superblock windows at block size c*bs.
+
+    ``B`` is ``(n_g, r, w*bs)`` — windows of ``w`` consecutive fine blocks
+    starting at fine block ``G``.  With superblocks of ``c`` fine blocks, a
+    window of ``w <= c + 1`` fine blocks always fits in two ADJACENT
+    superblocks (G = a*c + s, 0 <= s < c implies floor((G+c)/c) = a + 1),
+    so rows coupling up to ``c`` trajectory steps — joint_acc/jerk stencils,
+    trajectory_costs.cpp:775 — keep the 2-window format at the coarser
+    block size and every bb_* op below works unchanged with b = c*bs.
+    Returns ``(B' (n_g, r, 2*c*bs), G' (n_g,))`` with G' in superblocks.
+    """
+    n_g, r, wbs = B.shape
+    w = wbs // bs
+    if c == 1:
+        if w == 2:
+            return B, G
+        raise ValueError(f"window of {w} fine blocks needs superblock c >= {w - 1}")
+    if w > c + 1:
+        raise ValueError(f"window of {w} fine blocks needs superblock c >= {w - 1}")
+    G = jnp.asarray(G, jnp.int32)
+    Gs = jnp.minimum(G // c, nsb - 2)
+    off = (G - Gs * c) * bs  # placement offset in [0, (2c-w)*bs]
+    out0 = jnp.zeros((r, 2 * c * bs), B.dtype)
+    Bp = jax.vmap(
+        lambda rows, o: jax.lax.dynamic_update_slice(
+            out0, rows, (jnp.int32(0), o))
+    )(B, off)
+    return Bp, Gs.astype(jnp.int32)
+
+
 def step_window(Js: jax.Array, steps, nb: int):
     """Place per-step row blocks into 2-block windows.
 

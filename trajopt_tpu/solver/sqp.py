@@ -42,6 +42,7 @@ from .types import (
     PENALTY_ITERATION_LIMIT,
     RUNNING,
     SCO_ITERATION_LIMIT,
+    STOPPED_BY_CALLBACK,
     TIME_LIMIT,
     ProblemData,
     ProblemSpec,
@@ -169,7 +170,7 @@ def _rows(blocks, n_rows_total, n_x, dtype):
 
 
 def _convexify(plan: _Plan, data: ProblemData, x: jax.Array,
-               banded_rows: bool = False) -> _Cvx:
+               banded_rows: bool = False, band_c: int = 1) -> _Cvx:
     n_x = plan.spec.n_x
     dt = x.dtype
     sq_blocks, h_blocks, a_blocks = [], [], []
@@ -181,8 +182,16 @@ def _convexify(plan: _Plan, data: ProblemData, x: jax.Array,
         out = t.jac_banded(x, p)
         groups = out if isinstance(out, list) else [out]
         for B, G in groups:
-            bands_B.append(B.astype(dt))
-            bands_G.append(jnp.asarray(G, jnp.int32))
+            B = B.astype(dt)
+            G = jnp.asarray(G, jnp.int32)
+            if band_c > 1:
+                # fold fine-step windows into 2-superblock windows at the
+                # KKT block size band_c * n_cols (acc/jerk problems)
+                from ..ops.banded_rows import regroup
+                B, G = regroup(B, G, plan.spec.n_cols, band_c,
+                               plan.spec.n_steps // band_c)
+            bands_B.append(B)
+            bands_G.append(G)
         return None
 
     for i, t, _ in plan.sq:
@@ -291,9 +300,15 @@ def _assemble_qp(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
 # --------------------------------------------------------------------------
 
 
-def _model_values(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
-                  dx: jax.Array):
-    """Per-term convex-model costs and violations at step dx."""
+def _model_values(plan: _Plan, cvx: _Cvx, dx: jax.Array, band_c: int = 1):
+    """Per-term convex-model costs and violations at step dx.
+
+    At dx = 0 this is the EXACT evaluation of every term at the
+    linearization point (the model agrees with the function at the
+    expansion point), which is how the solve loop gets exact costs and
+    violations without a second primal pass — one ``_convexify`` per
+    iteration serves as both linearization and evaluation (VERDICT r3
+    item 2b: the collision primal is the dominant per-iteration cost)."""
     n_cost = len(plan.spec.cost_terms)
     dt = dx.dtype
     cost_vals = jnp.zeros((n_cost,), dt)
@@ -302,7 +317,7 @@ def _model_values(plan: _Plan, cvx: _Cvx, w_h: jax.Array, w_a: jax.Array,
     r_sq = cvx.err_sq + cvx.J_sq @ dx
     if cvx.J_h is None:  # banded-rows path
         from ..ops.banded_rows import bb_mv
-        b = plan.spec.n_cols
+        b = band_c * plan.spec.n_cols
         r_h = cvx.err_h + bb_mv(cvx.bh, cvx.gh, dx, b)
         r_a = cvx.err_a + bb_mv(cvx.ba, cvx.ga, dx, b)
     else:
@@ -357,6 +372,7 @@ def _evaluate(spec: ProblemSpec, data: ProblemData, x: jax.Array):
 
 class _State(NamedTuple):
     x: jax.Array
+    cvx: _Cvx  # convexification AT x, reused on rejected steps
     box: jax.Array
     merit: jax.Array
     cost_vals: jax.Array
@@ -437,9 +453,37 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     n_qp = n_x + plan.m_h + 2 * plan.m_a
     m_qp = plan.m_h + plan.m_a + n_x + plan.m_h + 2 * plan.m_a
 
+    # a user-set kkt_block that divides n_x but is not a multiple of the
+    # step width would feed a non-block-tridiagonal matrix to the btd
+    # factorization — fail loudly instead of inside jit
+    if (p.qp.kkt_block > 0 and spec.n_cols > 0
+            and p.qp.kkt_block % spec.n_cols != 0):
+        raise ValueError(
+            f"qp.kkt_block={p.qp.kkt_block} must be a multiple of the "
+            f"trajectory step width n_cols={spec.n_cols} (the KKT matrix "
+            "is only block-tridiagonal at step-aligned block sizes)")
+
+    # banded-rows path: skip the dense (m, n) Jacobian entirely when every
+    # row term provides window blocks and the IPM + block-tridiagonal
+    # factorization are in play (the dense row matrix dominates HBM traffic
+    # at flagship shapes).  Rows coupling up to c steps (acc/jerk stencils)
+    # keep the 2-window format at superblock size c * n_cols via
+    # ops.banded_rows.regroup, so the requirement is kkt_block == c * n_cols.
+    c_band = _band_coupling(spec)
+    banded_rows = (plan.all_rows_banded and qp_solver == "ipm"
+                   and c_band is not None and c_band >= 1
+                   and p.qp.kkt_block == c_band * spec.n_cols
+                   and spec.n_steps % c_band == 0
+                   and spec.n_x >= 2 * p.qp.kkt_block)
+    band_c = c_band if banded_rows else 1
+
     x0 = jnp.clip(data.x0, data.lb, data.ub)  # getClosestFeasiblePoint
     dt = x0.dtype
-    cost_vals0, viols0 = _evaluate(spec, data, x0)
+    # one linearize at x0: the primal part is the exact evaluation
+    # (_model_values at dx = 0), the Jacobian seeds the first QP iteration
+    cvx0 = _convexify(plan, data, x0, banded_rows=banded_rows, band_c=band_c)
+    cost_vals0, viols0 = _model_values(
+        plan, cvx0, jnp.zeros((n_x,), dt), band_c)
     merit0 = jnp.full((n_cnt,), p.initial_merit_error_coeff, dt)
     box0 = jnp.asarray(p.trust_box_size, dt)
     pen_it0 = jnp.int32(0)
@@ -452,6 +496,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
 
     st0 = _State(
         x=x0,
+        cvx=cvx0,
         box=box0,
         merit=merit0,
         cost_vals=cost_vals0,
@@ -474,26 +519,8 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     def cond(st: _State):
         return (st.status == RUNNING) & (st.n_qp < p.max_total_qp_solves)
 
-    # a user-set kkt_block that divides n_x but is not a multiple of the
-    # step width would feed a non-block-tridiagonal matrix to the btd
-    # factorization — fail loudly instead of inside jit
-    if (p.qp.kkt_block > 0 and spec.n_cols > 0
-            and p.qp.kkt_block % spec.n_cols != 0):
-        raise ValueError(
-            f"qp.kkt_block={p.qp.kkt_block} must be a multiple of the "
-            f"trajectory step width n_cols={spec.n_cols} (the KKT matrix "
-            "is only block-tridiagonal at step-aligned block sizes)")
-
-    # banded-rows path: skip the dense (m, n) Jacobian entirely when every
-    # row term provides window blocks and the IPM + block-tridiagonal
-    # factorization are in play (the dense row matrix dominates HBM traffic
-    # at flagship shapes).  Window blocks are n_cols-wide, so this path
-    # additionally requires the block size to equal the step width.
-    banded_rows = (plan.all_rows_banded and qp_solver == "ipm"
-                   and p.qp.kkt_block == spec.n_cols and _bandable(spec))
-
     def body(st: _State) -> _State:
-        cvx = _convexify(plan, data, st.x, banded_rows=banded_rows)
+        cvx = st.cvx  # linearization at st.x, carried across rejections
         w_h, w_a = _merit_row_weights(plan, cvx, st.merit)
         qp_data = _assemble_qp(plan, cvx, w_h, w_a, st.x, st.box,
                                data.lb, data.ub)
@@ -505,8 +532,17 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         dx = sol.x
 
         new_x = st.x + dx
-        model_costs, model_viols = _model_values(plan, cvx, w_h, w_a, dx)
-        new_costs, new_viols = _evaluate(spec, data, new_x)
+        model_costs, model_viols = _model_values(plan, cvx, dx, band_c)
+        # ONE primal+tangent pass at the proposed point: the primal part is
+        # the exact evaluation (accept/reject merit), the Jacobian becomes
+        # next iteration's convexification if the step is accepted.  A
+        # rejected step re-solves the carried cvx with a smaller box, like
+        # the reference's trust loop (optimizers.cpp:806-908), without
+        # re-convexifying.
+        new_cvx = _convexify(plan, data, new_x, banded_rows=banded_rows,
+                             band_c=band_c)
+        new_costs, new_viols = _model_values(
+            plan, new_cvx, jnp.zeros((n_x,), dt), band_c)
 
         old_merit = jnp.sum(st.cost_vals) + st.merit @ st.cnt_viols
         model_merit = jnp.sum(model_costs) + st.merit @ model_viols
@@ -551,9 +587,11 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
 
         # ---------------- merge branches ----------------
         ok = qp_ok
-        x1 = jnp.where(ok & accept, new_x, st.x)
-        cost1 = jnp.where(ok & accept, new_costs, st.cost_vals)
-        viol1 = jnp.where(ok & accept, new_viols, st.cnt_viols)
+        take = ok & accept
+        x1 = jnp.where(take, new_x, st.x)
+        cvx1 = jax.tree.map(lambda a, b: jnp.where(take, a, b), new_cvx, cvx)
+        cost1 = jnp.where(take, new_costs, st.cost_vals)
+        viol1 = jnp.where(take, new_viols, st.cnt_viols)
         box1 = jnp.where(
             ok,
             jnp.where(accept,
@@ -636,7 +674,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
                 x1, st.merit, viol1, box2, st.n_qp, ordered=True)
             status2 = jnp.where(
                 abort & (status2 == RUNNING),
-                jnp.int32(5),  # STOPPED_BY_CALLBACK
+                jnp.int32(STOPPED_BY_CALLBACK),
                 status2)
 
         hist = st.hist
@@ -657,7 +695,8 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
                     hist_x, x1[None, :], (idx, jnp.zeros_like(idx)))
 
         return _State(
-            x=x1, box=box2, merit=merit1, cost_vals=cost1, cnt_viols=viol1,
+            x=x1, cvx=cvx1, box=box2, merit=merit1,
+            cost_vals=cost1, cnt_viols=viol1,
             it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
             n_qp=st.n_qp + 1, n_admm=st.n_admm + sol.iters,
             n_fev=st.n_fev + 1, status=status2,
@@ -738,6 +777,8 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
     accepted steps per phase <= phase_qp_solves < max_iter and ``it``
     resumes across phases.)
     """
+    import time as _time
+
     import numpy as np
 
     if not (0 < phase_qp_solves < params.max_iter):
@@ -746,21 +787,56 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
             f"max_iter={params.max_iter}) for resumable-status detection")
     batch = data.x0.shape[0]
     total_budget = params.max_total_qp_solves
-    budget = min(phase_qp_solves, total_budget)
-    p1 = dataclasses.replace(params, max_total_qp_solves=budget)
-    res = _solve_batch_jit(spec, p1, data)
-    spent = budget
-    prev_bucket = batch
+    t_start = _time.monotonic()
+    # max_time and the abort callback are enforced HERE, at phase
+    # boundaries (the cheap, lockstep-safe place — a host round-trip per
+    # device iteration would serialize the batch), so the device phases
+    # run without either (reference max_time: optimizers.cpp:735; abort
+    # callback: trust_region_sqp_solver.cpp:441-447)
+    run_params = dataclasses.replace(params, callback=None,
+                                     max_time=float("inf"))
 
-    while spent < total_budget:
+    def _resumable(res, spent):
         status = np.asarray(res.status)
         n_qp = np.asarray(res.n_qp_solves)
         sqp_it = np.asarray(res.sqp_it)
         # resumable = exhausted every phase budget so far while still
         # RUNNING (see docstring); terminal iteration limits are excluded
         # by sqp_it < max_iter
-        idx = np.where((status == SCO_ITERATION_LIMIT) & (n_qp >= spent)
-                       & (sqp_it < params.max_iter))[0]
+        return np.where((status == SCO_ITERATION_LIMIT) & (n_qp >= spent)
+                        & (sqp_it < params.max_iter))[0]
+
+    def _interrupt(res, spent):
+        """Phase-boundary wall-clock / callback enforcement.  Returns the
+        (possibly terminal-stamped) result and whether to stop."""
+        stop_code = None
+        if (params.max_time != float("inf")
+                and _time.monotonic() - t_start > params.max_time):
+            stop_code = TIME_LIMIT
+        elif params.callback is not None and params.callback({
+                "x": res.x, "merit": res.merit_coeffs,
+                "viols": res.cnt_viols, "box": res.trust_box_size,
+                "n_qp": res.n_qp_solves}):
+            stop_code = STOPPED_BY_CALLBACK
+        if stop_code is None:
+            return res, False
+        live = _resumable(res, spent)
+        if live.size:
+            res = res._replace(status=res.status.at[live].set(
+                jnp.int32(stop_code)))
+        return res, True
+
+    budget = min(phase_qp_solves, total_budget)
+    p1 = dataclasses.replace(run_params, max_total_qp_solves=budget)
+    res = _solve_batch_jit(spec, p1, data)
+    spent = budget
+    prev_bucket = batch
+
+    while spent < total_budget:
+        res, stop = _interrupt(res, spent)
+        if stop:
+            return res
+        idx = _resumable(res, spent)
         if idx.size == 0:
             return res
 
@@ -783,14 +859,39 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
                 "penalty_it": res.penalty_it[pad],
                 "it": res.sqp_it[pad],
             })
-        p2 = dataclasses.replace(params, max_total_qp_solves=budget)
+        p2 = dataclasses.replace(run_params, max_total_qp_solves=budget)
         res2 = _solve_batch_jit(spec, p2, d2)
         spent += budget
         prev_bucket = bucket
 
         n = idx.size
         sl = lambda a: a[:n]
+        # merge iteration telemetry: resumed lanes' history rows continue
+        # at their pre-resume row counts, so every lane's log stream is as
+        # complete as a single-phase solve (the reference's per-iteration
+        # CSV streams are complete for every solve, optimizers.cpp:528-642)
+        hist, hist_x = res.history, res.history_x
+        if params.record_history > 0:
+            H = params.record_history
+            base = np.asarray(res.n_qp_solves)[idx]
+            add = np.asarray(res2.n_qp_solves)[:n]
+            h_new = np.array(hist)
+            h2 = np.asarray(res2.history)
+            hx_new = np.array(hist_x) if params.record_history_x else None
+            hx2 = np.asarray(res2.history_x) if params.record_history_x else None
+            for k, lane in enumerate(idx):
+                o = int(base[k])
+                m = max(0, min(int(add[k]), H - o))
+                if m > 0:
+                    h_new[lane, o:o + m] = h2[k, :m]
+                    if hx_new is not None:
+                        hx_new[lane, o:o + m] = hx2[k, :m]
+            hist = jnp.asarray(h_new)
+            if hx_new is not None:
+                hist_x = jnp.asarray(hx_new)
         res = res._replace(
+            history=hist,
+            history_x=hist_x,
             x=res.x.at[idx].set(sl(res2.x)),
             status=res.status.at[idx].set(sl(res2.status)),
             cost_vals=res.cost_vals.at[idx].set(sl(res2.cost_vals)),

@@ -64,11 +64,10 @@ class SQPParams:
     # max_iter per penalty round + bounded trust shrinks; this is a backstop)
     max_total_qp_solves: int = 3000
     # wall-clock limit in seconds (reference max_time enforcement,
-    # optimizers.cpp:735 -> OPT_TIME_LIMIT).  Enforced via a host clock
-    # callback each iteration, so — like ``callback`` — it applies to
-    # single-instance solves only (batched solves should bound work with
-    # max_total_qp_solves instead; a host round-trip per batched device
-    # iteration would serialize the whole batch on the host).
+    # optimizers.cpp:735 -> OPT_TIME_LIMIT).  Single-instance solves check
+    # a host clock each iteration; batched ``solve_batch_compact`` solves
+    # enforce it at phase boundaries (still-running lanes are stamped
+    # OPT_TIME_LIMIT — the lockstep-safe batched equivalent).
     max_time: float = float("inf")
     # >0 allocates an on-device iteration-history buffer of that many rows
     # (the analog of the reference's trajopt_solver.log CSV stream,
@@ -78,10 +77,12 @@ class SQPParams:
     # trajopt_vars.log stream the reference writes each iteration and
     # plot_optimization.py plots, optimizers.cpp:528-642)
     record_history_x: bool = False
-    # Optional per-iteration host callback (the SQPCallback analog,
+    # Optional host callback (the SQPCallback analog,
     # trust_region_sqp_solver.cpp:441-447): called with a dict
     # {x, merit, viols, box, n_qp}; returning True aborts the solve
-    # (OPT_STOPPED_BY_CALLBACK).  Single-instance solves only.
+    # (OPT_STOPPED_BY_CALLBACK).  Single-instance solves call it every
+    # iteration; ``solve_batch_compact`` calls it at phase boundaries with
+    # the batched arrays and aborts the still-running lanes.
     callback: Optional[Any] = None
     qp: QPSettings = QPSettings()
 

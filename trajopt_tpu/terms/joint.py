@@ -110,15 +110,16 @@ def _stencil_jac(n_steps, n_dof, first, last, order, n_cols=None):
 
 
 def _stencil_banded(n_steps, n_dof, first, last, order, n_cols=None):
-    """Static banded window blocks for order<=1 stencils (ops.banded_rows
-    format): (B0 (span, n_dof, 2*nc), G (span,)).  Returns None for wider
-    stencils (acc/jerk need a >2-block window)."""
-    if order > 1:
-        return None
+    """Static banded window blocks (ops.banded_rows format):
+    (B0 (span, n_dof, w*nc), G (span,)) with w = max(order + 1, 2) fine
+    blocks per window.  Orders 2-3 (acc/jerk, trajectory_costs.cpp:775)
+    produce wider-than-2 windows; ops.banded_rows.regroup folds them into
+    2-superblock windows at the coarser KKT block size c * nc."""
     nc = n_cols or n_dof
     span = last - order - first + 1
     coefs = _stencil(order)
-    B0 = np.zeros((span, n_dof, 2 * nc))
+    w = max(order + 1, 2)
+    B0 = np.zeros((span, n_dof, w * nc))
     if order == 0:
         steps = first + np.arange(span)
         G = np.minimum(steps, n_steps - 2)
@@ -130,8 +131,8 @@ def _stencil_banded(n_steps, n_dof, first, last, order, n_cols=None):
         G = first + np.arange(span)
         for s in range(span):
             for d in range(n_dof):
-                B0[s, d, d] = coefs[0]
-                B0[s, d, nc + d] = coefs[1]
+                for k, cf in enumerate(coefs):
+                    B0[s, d, k * nc + d] = cf
     return B0, np.asarray(G, np.int32)
 
 
@@ -158,9 +159,9 @@ def joint_motion_term(
     assert span >= 1, f"{name}: trajectory too short for order {order}"
     n = span * n_dof
     S = _stencil_jac(n_steps, n_dof, first_step, last, order, n_cols)
-    banded = _stencil_banded(n_steps, n_dof, first_step, last, order, n_cols)
-    if banded is not None and n_steps >= 2:
-        B0_np, G_np = banded
+    if n_steps >= 2:
+        B0_np, G_np = _stencil_banded(
+            n_steps, n_dof, first_step, last, order, n_cols)
     else:
         B0_np = None
 
