@@ -23,14 +23,23 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: first run pays XLA compile, reruns are fast.
+# Persistent compilation cache — READ-ONLY inside pytest.
 #
-# The cache is compressed with zstandard when available; on this image the
-# zstandard one-shot compress of the large PR2 XLA:CPU executables segfaults
-# (reproducible at compilation_cache.put_executable_and_time).  zlib is
-# stable, so force the zlib fallback before anything touches the cache, and
-# use a compressor-specific directory so zstd-written entries from older
-# runs are never fed to zlib.decompress.
+# Writing large XLA:CPU executables to the persistent cache is unstable on
+# this image: `executable.serialize()` (compilation_cache.py:265,
+# put_executable_and_time) intermittently SIGABRTs in processes that have
+# already done many large compiles (observed round 3 at the PR2 parity
+# compile and round 4 at the 9-DoF rail compile; the same executables
+# serialize fine in a fresh process).  The corruption can also surface in
+# later unrelated compiles, so pytest processes never serialize at all:
+# reads (deserialize) are stable and keep warm reruns fast.  Writes are
+# enabled only when TRAJOPT_TPU_CACHE_WRITE=1 — set by
+# scripts/warm_cache.py, which populates the cache from short-lived
+# per-module subprocesses where writes happen early in process life.
+#
+# zstandard one-shot compress also crashed on large buffers; force the
+# zlib fallback and use a compressor-specific directory so old
+# zstd-written entries are never fed to zlib.decompress.
 from jax._src import compilation_cache as _cc
 
 _cc.zstandard = None
@@ -39,6 +48,12 @@ if hasattr(_cc, "zstd"):
 jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache_zlib")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+if os.environ.get("TRAJOPT_TPU_CACHE_WRITE") != "1":
+    def _no_cache_write(cache_key, compile_time, executable, backend):
+        return None
+
+    _cc.put_executable_and_time = _no_cache_write
 
 # Modules that are run in a fresh child process by test_zzz_isolated.py
 # rather than collected here.  The PR2 reference-parity module reproducibly

@@ -204,11 +204,204 @@ def make_planning(batch: int, n_steps: int = 6, dtype=jnp.float32,
     return spec, batch_data, chain, world
 
 
+# ---------------------------------------------------------------------------
+# BASELINE config 4: pick-and-place — attached-object collision geometry,
+# TWO CHAINED problems (approach without payload, transfer with a grasped
+# payload carried over a divider wall; the second problem is seeded by the
+# first's solution — the reference's GIVEN_TRAJ chaining,
+# problem_description.hpp:162-185; attached geometry:
+# trajopt/test/cast_cost_attached_unit.cpp).
+# ---------------------------------------------------------------------------
+
+# home on the pick side; grasp/place found by IK at tool (0.55, -/+0.40, 0.55)
+# beside the wall (models.ARM7_WALL_URDF), both collision-verified
+Q_PNP_HOME = np.array([-1.1, 1.6, 0.0, -0.8, 0.0, -0.8, 0.0])
+Q_PNP_GRASP = np.array([-0.736, 2.03, -0.133, -0.948, -0.045, -1.244, 0.0])
+Q_PNP_PLACE = np.array([0.736, 2.03, 0.133, -0.948, 0.045, -1.244, 0.0])
+
+# grasped payload: a 0.1 x 0.1 x 0.18 box hull above the tool flange
+PNP_PAYLOAD_VERTS = np.array(
+    [[sx * 0.05, sy * 0.05, z]
+     for sx in (-1, 1) for sy in (-1, 1) for z in (0.02, 0.20)])
+
+
+def _pnp_scene():
+    from .collision.decompose import fit_hull
+    from .models import arm7_wall
+
+    model, chain = arm7_wall()
+    world_free = build_collision_world(model, chain)
+    payload = fit_hull(PNP_PAYLOAD_VERTS)
+    # l6/base wrist pairs sit at a constant near-margin distance from the
+    # attached payload / upper arm — the SRDF "never colliding" analog
+    world_att = build_collision_world(
+        model, chain, attachments=[("tool", payload)],
+        extra_disabled={tuple(sorted(("l6", "tool"))),
+                        tuple(sorted(("base", "l2")))})
+    return model, chain, world_free, world_att
+
+
+def _pnp_builder(world, chain, T, dtype, n_sub, goal):
+    D = chain.n_dof
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_vel_term("jvel", T, D),
+               {"targets": np.zeros(D, dtype), "coeffs": np.full(D, 5.0, dtype)})
+    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
+               {"margins": np.asarray(0.025, dtype),
+                "coeffs": np.asarray(20.0, dtype)})
+    b.add_constraint(
+        cast_collision_term("coll_cnt", world, T, n_sub=n_sub,
+                            is_constraint=True),
+        {"margins": np.asarray(0.005, dtype),
+         "coeffs": np.asarray(1.0, dtype)})
+    b.add_constraint(
+        joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
+                       is_constraint=True),
+        {"targets": np.asarray(goal, dtype), "coeffs": np.ones(D, dtype)})
+    b.fix_timestep(0)
+    return b
+
+
+def make_pick_and_place(batch: int, n_steps: int = 12, dtype=jnp.float32,
+                        n_sub: int = 2, seed: int = 0):
+    """Build the approach-phase batch and return everything needed to chain
+    the transfer phase (``chain_transfer`` below).  Per-lane grasp/place
+    goals are yaw-perturbed like the flagship."""
+    model, chain, world_free, world_att = _pnp_scene()
+    T, D = n_steps, chain.n_dof
+    rng = np.random.default_rng(seed)
+    grasps, places = [], []
+    datas = []
+    bA = _pnp_builder(world_free, chain, T, dtype, n_sub, Q_PNP_GRASP)
+    for _ in range(batch):
+        dg = rng.uniform(-0.05, 0.05, D) * np.array([1, 0, 0, 0, 0, 0, 1])
+        grasp = Q_PNP_GRASP + dg
+        place = Q_PNP_PLACE + rng.uniform(-0.05, 0.05, D) * np.array(
+            [1, 0, 0, 0, 0, 0, 1])
+        init = interpolated_init(np.asarray(Q_PNP_HOME, dtype),
+                                 np.asarray(grasp, dtype), T)
+        specA, dA = bA.build(init)
+        dA = dA._replace(cnt_params=(
+            dA.cnt_params[0],
+            {"targets": np.asarray(grasp, dtype), "coeffs": np.ones(D, dtype)},
+        ))
+        grasps.append(grasp)
+        places.append(place)
+        datas.append(dA)
+    dataA = stack_data(datas)
+    dataA = jax.tree.map(
+        lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
+        dataA)
+    scene = {"chain": chain, "world_free": world_free, "world_att": world_att,
+             "T": T, "D": D, "dtype": dtype, "n_sub": n_sub,
+             "grasps": np.asarray(grasps), "places": np.asarray(places)}
+    return specA, dataA, scene
+
+
+def chain_transfer(scene, qa_end: np.ndarray):
+    """Build the transfer-phase batch seeded by the approach solutions
+    (``qa_end`` (batch, D) = each lane's solved grasp configuration; the
+    fixed step 0 pins it, GIVEN_TRAJ-style)."""
+    T, D, dtype = scene["T"], scene["D"], scene["dtype"]
+    chain, world = scene["chain"], scene["world_att"]
+    datas = []
+    bB = _pnp_builder(world, chain, T, dtype, scene["n_sub"], Q_PNP_PLACE)
+    for i in range(qa_end.shape[0]):
+        place = scene["places"][i]
+        init = interpolated_init(np.asarray(qa_end[i], dtype),
+                                 np.asarray(place, dtype), T)
+        specB, dB = bB.build(init)
+        dB = dB._replace(cnt_params=(
+            dB.cnt_params[0],
+            {"targets": np.asarray(place, dtype), "coeffs": np.ones(D, dtype)},
+        ))
+        datas.append(dB)
+    dataB = stack_data(datas)
+    dataB = jax.tree.map(
+        lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
+        dataB)
+    return specB, dataB
+
+
+def solve_pick_and_place(batch: int, n_steps: int = 12, dtype=jnp.float32,
+                         n_sub: int = 2, seed: int = 0, params=None,
+                         phase_qp_solves: int = 8):
+    """The full chained pick-and-place solve (both problems, batched)."""
+    from .solver.sqp import solve_batch_compact
+
+    params = params or bench_params()
+    specA, dataA, scene = make_pick_and_place(batch, n_steps, dtype, n_sub,
+                                              seed)
+    resA = solve_batch_compact(specA, dataA, params,
+                               phase_qp_solves=phase_qp_solves)
+    qa_end = np.asarray(resA.x).reshape(batch, n_steps, -1)[:, -1]
+    specB, dataB = chain_transfer(scene, qa_end)
+    resB = solve_batch_compact(specB, dataB, params,
+                               phase_qp_solves=phase_qp_solves)
+    return resA, resB, scene
+
+
+# ---------------------------------------------------------------------------
+# BASELINE config 5: continuous (swept-volume) collision with redundant
+# external axes — 9 DoF (2 prismatic gantry + 7-DoF arm), the arm carried
+# past a table the straight-line motion sweeps through.
+# ---------------------------------------------------------------------------
+
+Q9_START = np.array([-0.85, 0.0, -1.1, 1.6, 0.0, -0.8, 0.0, -0.8, 0.0])
+Q9_GOAL = np.array([0.85, 0.0, 1.1, 1.6, 0.0, -0.8, 0.0, -0.8, 0.0])
+
+
+def make_redundant_rail(batch: int, n_steps: int = 15, dtype=jnp.float32,
+                        n_sub: int = 2, seed: int = 0):
+    """9-DoF redundant-axes continuous-collision problem batch."""
+    from .models import arm9_rail
+
+    model, chain = arm9_rail()
+    world = build_collision_world(model, chain)
+    T, D = n_steps, chain.n_dof
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(joint_vel_term("jvel", T, D),
+               {"targets": np.zeros(D, dtype), "coeffs": np.full(D, 5.0, dtype)})
+    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
+               {"margins": np.asarray(0.025, dtype),
+                "coeffs": np.asarray(20.0, dtype)})
+    b.add_constraint(
+        cast_collision_term("coll_cnt", world, T, n_sub=n_sub,
+                            is_constraint=True),
+        {"margins": np.asarray(0.005, dtype),
+         "coeffs": np.asarray(1.0, dtype)})
+    b.add_constraint(
+        joint_pos_term("goal", T, D, first_step=T - 1, last_step=T - 1,
+                       is_constraint=True),
+        {"targets": np.asarray(Q9_GOAL, dtype), "coeffs": np.ones(D, dtype)})
+    b.fix_timestep(0)
+    rng = np.random.default_rng(seed)
+    mask = np.array([0, 1, 1, 0, 0, 0, 0, 0, 1.0])  # rail-y + yaw joints
+    datas = []
+    for _ in range(batch):
+        start = Q9_START + rng.uniform(-0.1, 0.1, D) * mask
+        goal = Q9_GOAL + rng.uniform(-0.1, 0.1, D) * mask
+        init = interpolated_init(np.asarray(start, dtype),
+                                 np.asarray(goal, dtype), T)
+        spec, data = b.build(init)
+        data = data._replace(cnt_params=(
+            data.cnt_params[0],
+            {"targets": np.asarray(goal, dtype), "coeffs": np.ones(D, dtype)},
+        ))
+        datas.append(data)
+    batch_data = stack_data(datas)
+    batch_data = jax.tree.map(
+        lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
+        batch_data)
+    return spec, batch_data, chain, world
+
+
 _BENCHES = {
     "simple_collision": lambda batch: make_simple_collision(
         batch, dtype=jnp.float32),
     "planning": lambda batch: make_planning(batch),
     "glass_upright": lambda batch: make_glass_upright(batch),
+    "redundant_rail": lambda batch: make_redundant_rail(batch),
 }
 
 

@@ -144,6 +144,51 @@ ARM7_URDF = """
 """
 
 
+# Pick-and-place variant: the same 7-DoF arm, but the obstacle is a divider
+# WALL between the pick side (y < 0) and the place side (y > 0) — the
+# BASELINE pick-and-place config's geometry (grasped payload must be carried
+# over an obstacle between two chained problems; reference analog:
+# trajopt/test/cast_cost_attached_unit.cpp worlds).
+ARM7_WALL_URDF = ARM7_URDF.replace(
+    '<link name="table">\n'
+    '    <collision><geometry><box size="0.8 1.2 0.06"/></geometry>'
+    '</collision>\n'
+    '  </link>',
+    '<link name="table">\n'
+    '    <collision><geometry><box size="0.45 0.07 0.45"/></geometry>'
+    '</collision>\n'
+    '  </link>'
+).replace(
+    '<origin xyz="0.75 0 0.30"/><parent link="base"/><child link="table"/>',
+    '<origin xyz="0.60 0 0.50"/><parent link="base"/><child link="table"/>')
+
+# 9-DoF redundant-axes variant: the 7-DoF arm riding a 2-axis prismatic
+# gantry (external axes), table fixed to the WORLD so the carriage motion
+# sweeps the arm past it — the BASELINE "continuous collision with
+# redundant external axes, 9-DOF" config.
+ARM9_RAIL_URDF = ARM7_URDF.replace(
+    '<collision><geometry><box size="0.8 1.2 0.06"/></geometry></collision>',
+    '<collision><geometry><box size="0.45 1.2 0.06"/></geometry></collision>'
+).replace(
+    '<robot name="arm7">',
+    '<robot name="arm9_rail">\n'
+    '  <link name="rail"/>\n'
+    '  <link name="carriage"/>\n'
+    '  <joint name="railx" type="prismatic">\n'
+    '    <parent link="rail"/><child link="carriage"/>\n'
+    '    <axis xyz="1 0 0"/>'
+    '<limit lower="-0.9" upper="0.9" velocity="1.0"/>\n'
+    '  </joint>\n'
+    '  <joint name="raily" type="prismatic">\n'
+    '    <parent link="carriage"/><child link="base"/>\n'
+    '    <axis xyz="0 1 0"/>'
+    '<limit lower="-0.45" upper="0.45" velocity="1.0"/>\n'
+    '  </joint>'
+).replace(
+    '<origin xyz="0.75 0 0.30"/><parent link="base"/><child link="table"/>',
+    '<origin xyz="0.45 0 0.30"/><parent link="rail"/><child link="table"/>')
+
+
 def spherebot() -> tuple[RobotModel, Chain]:
     m = parse_urdf(SPHEREBOT_URDF)
     return m, build_chain(m, ["x", "y"])
@@ -157,3 +202,13 @@ def boxbot() -> tuple[RobotModel, Chain]:
 def arm7() -> tuple[RobotModel, Chain]:
     m = parse_urdf(ARM7_URDF)
     return m, build_chain(m, [f"j{i}" for i in range(1, 8)])
+
+
+def arm7_wall() -> tuple[RobotModel, Chain]:
+    m = parse_urdf(ARM7_WALL_URDF)
+    return m, build_chain(m, [f"j{i}" for i in range(1, 8)])
+
+
+def arm9_rail() -> tuple[RobotModel, Chain]:
+    m = parse_urdf(ARM9_RAIL_URDF)
+    return m, build_chain(m, ["railx", "raily"] + [f"j{i}" for i in range(1, 8)])

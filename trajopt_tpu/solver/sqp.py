@@ -372,7 +372,6 @@ def _evaluate(spec: ProblemSpec, data: ProblemData, x: jax.Array):
 
 class _State(NamedTuple):
     x: jax.Array
-    cvx: _Cvx  # convexification AT x, reused on rejected steps
     box: jax.Array
     merit: jax.Array
     cost_vals: jax.Array
@@ -479,11 +478,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
 
     x0 = jnp.clip(data.x0, data.lb, data.ub)  # getClosestFeasiblePoint
     dt = x0.dtype
-    # one linearize at x0: the primal part is the exact evaluation
-    # (_model_values at dx = 0), the Jacobian seeds the first QP iteration
-    cvx0 = _convexify(plan, data, x0, banded_rows=banded_rows, band_c=band_c)
-    cost_vals0, viols0 = _model_values(
-        plan, cvx0, jnp.zeros((n_x,), dt), band_c)
+    cost_vals0, viols0 = _evaluate(spec, data, x0)
     merit0 = jnp.full((n_cnt,), p.initial_merit_error_coeff, dt)
     box0 = jnp.asarray(p.trust_box_size, dt)
     pen_it0 = jnp.int32(0)
@@ -496,7 +491,6 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
 
     st0 = _State(
         x=x0,
-        cvx=cvx0,
         box=box0,
         merit=merit0,
         cost_vals=cost_vals0,
@@ -520,7 +514,17 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         return (st.status == RUNNING) & (st.n_qp < p.max_total_qp_solves)
 
     def body(st: _State) -> _State:
-        cvx = st.cvx  # linearization at st.x, carried across rejections
+        # NOTE on a rejected design: carrying the convexification in loop
+        # state (one linearize per proposed point serving as both exact
+        # evaluation and next convexification) removes one primal pass per
+        # iteration algebraically, but measured 26% SLOWER on TPU v5e —
+        # the while_loop carry forces the full _Cvx (row Jacobian windows,
+        # J_sq, errs) to materialize in HBM each iteration and blocks the
+        # producer-consumer fusion of convexify into QP assembly
+        # (PROFILE r4: full 3.13s vs 2.51s carried vs recompute).  Keep
+        # convexify inside the body where XLA fuses it.
+        cvx = _convexify(plan, data, st.x, banded_rows=banded_rows,
+                         band_c=band_c)
         w_h, w_a = _merit_row_weights(plan, cvx, st.merit)
         qp_data = _assemble_qp(plan, cvx, w_h, w_a, st.x, st.box,
                                data.lb, data.ub)
@@ -533,16 +537,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
 
         new_x = st.x + dx
         model_costs, model_viols = _model_values(plan, cvx, dx, band_c)
-        # ONE primal+tangent pass at the proposed point: the primal part is
-        # the exact evaluation (accept/reject merit), the Jacobian becomes
-        # next iteration's convexification if the step is accepted.  A
-        # rejected step re-solves the carried cvx with a smaller box, like
-        # the reference's trust loop (optimizers.cpp:806-908), without
-        # re-convexifying.
-        new_cvx = _convexify(plan, data, new_x, banded_rows=banded_rows,
-                             band_c=band_c)
-        new_costs, new_viols = _model_values(
-            plan, new_cvx, jnp.zeros((n_x,), dt), band_c)
+        new_costs, new_viols = _evaluate(spec, data, new_x)
 
         old_merit = jnp.sum(st.cost_vals) + st.merit @ st.cnt_viols
         model_merit = jnp.sum(model_costs) + st.merit @ model_viols
@@ -589,7 +584,6 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
         ok = qp_ok
         take = ok & accept
         x1 = jnp.where(take, new_x, st.x)
-        cvx1 = jax.tree.map(lambda a, b: jnp.where(take, a, b), new_cvx, cvx)
         cost1 = jnp.where(take, new_costs, st.cost_vals)
         viol1 = jnp.where(take, new_viols, st.cnt_viols)
         box1 = jnp.where(
@@ -695,7 +689,7 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
                     hist_x, x1[None, :], (idx, jnp.zeros_like(idx)))
 
         return _State(
-            x=x1, cvx=cvx1, box=box2, merit=merit1,
+            x=x1, box=box2, merit=merit1,
             cost_vals=cost1, cnt_viols=viol1,
             it=it2, penalty_it=pen_it1, qp_fails=qp_fails1,
             n_qp=st.n_qp + 1, n_admm=st.n_admm + sol.iters,
