@@ -188,32 +188,48 @@ def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
     The TPU-native support-mapping path for convex meshes (SURVEY.md §1:
     "support mapping GJK-style for convex meshes"; tesseract's
     Bullet/FCL GJK consumed at trajopt/src/collision_terms.cpp:203-323).
-    Design: instead of GJK's divergent simplex cases, run fixed-iteration
-    Frank–Wolfe on ½‖a−b‖² over the two hulls (every step = two support
-    queries = two argmax matmuls — MXU-friendly, vmappable, static shapes).
-    Witness convex weights are ``stop_gradient``-ed so autodiff applies the
-    envelope theorem: d(dist)/d(verts) is exact at the optimum, matching the
-    reference's contact-normal gradients.
+    Design: instead of GJK's divergent simplex cases, the distance is the
+    MAX SEPARATION over a fixed direction set — the 26 box-lattice
+    directions plus the (stop-gradient) Frank–Wolfe closest-point
+    direction.  For each direction u, sep(u) = min_b u·b − max_a u·a is a
+    valid signed lower bound (positive gap when separated, −depth when
+    penetrating), so the max over directions is
 
-    Penetration: FW drives the gap to 0; the signed depth is recovered as
-    −min_u h_{A⊖B}(u) over the fixed 26-direction cover (a conservative,
-    differentiable overestimate of depth — the hinge terms push outward).
+      * ONE branch-free formula, continuous through contact (the old
+        gap/depth branch jumped at the switch and failed FD checks);
+      * CONSERVATIVE: it never over-reports clearance.  The previous
+        formulation returned the FW primal gap ‖p₁−p₂‖, an UPPER bound
+        that over-estimates by O(1/iters) exactly in the flat face-face
+        cases where FW zigzags — FD checks at parallel-face
+        configurations measured ~30% value error at 24 iterations;
+      * EXACT whenever the true contact normal is in the set — the FW
+        *direction* converges much faster than the FW witness points, and
+        flat contacts (where the 26-cover may miss) are precisely where
+        FW's direction is best;
+      * two (n_verts, 28) support matmuls — MXU-friendly, vmappable.
+
+    Gradients: autodiff of max/min over support values picks the active
+    vertices with weight ±u — the reference's contact-normal gradient
+    (envelope theorem; the FW weights carry a zero tangent,
+    ``_fw_weights_jvp``).
 
     ``V*`` may be padded with repeated vertices (padding never wins an
     argmax tie in a harmful way: support values are identical).
     """
     l1, l2 = _fw_weights(V1, V2, iters)
-    p1 = l1 @ V1
-    p2 = l2 @ V2
-    gap = _safe_norm(p1 - p2)
-
-    U = jnp.asarray(_PEN_DIRS, V1.dtype)  # (26,3)
-    # support of the Minkowski difference A − B per direction
-    h = jnp.max(V1 @ U.T, axis=0) + jnp.max(-(V2 @ U.T), axis=0)
-    depth = jnp.min(h)  # > 0 iff (approximately) penetrating
-
-    sep = gap > 1e-6
-    return jnp.where(sep, gap, -depth) - (r1 + r2)
+    p = l1 @ V1 - l2 @ V2
+    # deep penetration drives p -> 0: the direction is then meaningless
+    # (and a zero vector would fake sep = 0), so fall back to a cover
+    # direction — a harmless duplicate in the max
+    pn = _safe_norm(p)
+    n = jax.lax.stop_gradient(jnp.where(
+        pn > 1e-9, p / jnp.maximum(pn, _EPS),
+        jnp.asarray(_PEN_DIRS[0], V1.dtype)))
+    U = jnp.concatenate(
+        [jnp.asarray(_PEN_DIRS, V1.dtype), n[None, :], -n[None, :]], axis=0)
+    # separation along u: (closest face of B above) - (farthest of A below)
+    sep = jnp.min(V2 @ U.T, axis=0) - jnp.max(V1 @ U.T, axis=0)
+    return jnp.max(sep) - (r1 + r2)
 
 
 def d_swept_box_box(c1a, c1b, R1, h1, c2, R2, h2):

@@ -71,32 +71,114 @@ class Chain:
         """World poses of every link: (R (L,3,3), p (L,3)).
 
         Also usable under vmap/jacfwd; all indexing is static.
+
+        TPU-critical design: rotations are composed as NINE SCALAR
+        expressions with trace-time constant folding of the (host-side)
+        fixed offsets — NOT as (3, 3) matmul ops.  Under ``vmap`` a scalar
+        expression becomes one fused (N,)-elementwise op that fills the
+        VPU's 8x128 lanes, whereas a batched (N, 3, 3) @ (N, 3, 3) matmul
+        pads each 3x3 operand to a full tile (<1% lane utilization).  The
+        round-4 micro-profile measured the matmul form at 51 ms of the
+        74 ms flagship collision primal at batch 128; the scalar form
+        removes that wall.  Offsets fold: identity/axis-aligned entries
+        (most of a URDF) generate no ops at all.
         """
         L = self.n_links
+        dt = q.dtype
+
+        def const(v):
+            return float(v)
+
+        def mulc(c, x):
+            """constant * scalar-expr with 0/1 folding."""
+            if isinstance(x, float):
+                return c * x
+            if c == 0.0:
+                return 0.0
+            if c == 1.0:
+                return x
+            if c == -1.0:
+                return -x
+            return c * x
+
+        def add(a, b):
+            if isinstance(a, float) and a == 0.0:
+                return b
+            if isinstance(b, float) and b == 0.0:
+                return a
+            return a + b
+
+        def mul(a, b):
+            fa = isinstance(a, float)
+            fb = isinstance(b, float)
+            if fa and a == 0.0 or fb and b == 0.0:
+                return 0.0
+            if fa and a == 1.0:
+                return b
+            if fb and b == 1.0:
+                return a
+            return a * b
+
+        def matmul3(A, B):
+            """3x3 compose on scalar-expression entries (floats fold)."""
+            return [[add(add(mul(A[i][0], B[0][j]), mul(A[i][1], B[1][j])),
+                         mul(A[i][2], B[2][j])) for j in range(3)]
+                    for i in range(3)]
+
+        def matvec3(A, v):
+            return [add(add(mul(A[i][0], v[0]), mul(A[i][1], v[1])),
+                        mul(A[i][2], v[2])) for i in range(3)]
+
         Rs: list = [None] * L
         ps: list = [None] * L
-        dt = q.dtype
         for l in range(L):
             par = int(self.parent[l])
-            offR = jnp.asarray(self.off_R[l], dt)
-            offp = jnp.asarray(self.off_p[l], dt)
+            offR = [[const(self.off_R[l][i][j]) for j in range(3)]
+                    for i in range(3)]
+            offp = [const(self.off_p[l][i]) for i in range(3)]
             if par < 0:
                 Rj, pj = offR, offp
             else:
-                Rj = Rs[par] @ offR
-                pj = Rs[par] @ offp + ps[par]
+                Rj = matmul3(Rs[par], offR)
+                pj = [add(x, y) for x, y in
+                      zip(matvec3(Rs[par], offp), ps[par])]
             jt = int(self.jtype[l])
             d = int(self.dof_of_link[l])
             if jt == JT_REVOLUTE and d >= 0:
-                Rs[l] = Rj @ axis_angle_matrix(jnp.asarray(self.axis[l], dt), q[d])
+                # R_axis = I + sin K + (1 - cos) K^2 with constant K
+                ax = self.axis[l] / max(np.linalg.norm(self.axis[l]), 1e-12)
+                kx, ky, kz = (float(ax[0]), float(ax[1]), float(ax[2]))
+                K = np.array([[0.0, -kz, ky], [kz, 0.0, -kx],
+                              [-ky, kx, 0.0]])
+                K2 = K @ K
+                s = jnp.sin(q[d])
+                c1 = 1.0 - jnp.cos(q[d])
+                I3 = np.eye(3)
+                Ra = [[add(const(I3[i][j]),
+                           add(mulc(const(K[i][j]), s),
+                               mulc(const(K2[i][j]), c1)))
+                       for j in range(3)] for i in range(3)]
+                Rs[l] = matmul3(Rj, Ra)
                 ps[l] = pj
             elif jt == JT_PRISMATIC and d >= 0:
+                ax = [const(self.axis[l][i]) for i in range(3)]
+                step = matvec3(Rj, [mul(a, q[d]) for a in ax])
                 Rs[l] = Rj
-                ps[l] = pj + Rj @ (jnp.asarray(self.axis[l], dt) * q[d])
+                ps[l] = [add(x, y) for x, y in zip(pj, step)]
             else:
                 Rs[l] = Rj
                 ps[l] = pj
-        return jnp.stack(Rs), jnp.stack(ps)
+
+        def mat_to_jnp(M):
+            rows = [jnp.stack([jnp.asarray(e, dt) if isinstance(e, float)
+                               else e for e in row]) for row in M]
+            return jnp.stack(rows)
+
+        R_out = jnp.stack([mat_to_jnp(Rs[l]) for l in range(L)])
+        p_out = jnp.stack([
+            jnp.stack([jnp.asarray(e, dt) if isinstance(e, float) else e
+                       for e in ps[l]]) for l in range(L)])
+        return R_out, p_out
 
     def joint_frames(self, q: jax.Array):
         """World joint axes and origins for each dof: (z (n_dof,3), o (n_dof,3)).
