@@ -399,6 +399,91 @@ def small_hull_topology(n_verts: int):
     raise ValueError(f"no static topology for {n_verts} vertices")
 
 
+def _seg_seg_d2_grid(A1, B1, A2, B2):
+    """(e1, e2) squared distances between all edge pairs, in batched
+    matmul + elementwise form (no per-pair closest-point materialization —
+    the gather/concat form cost ~2.9 GB of HBM traffic per flagship
+    collision primal; dot-product grids are three small matmuls that XLA
+    fuses the clamp cascade into).  Same clamped Ericson recurrence as
+    ``_seg_seg_closest``."""
+    d1 = B1 - A1  # (e1, 3)
+    d2 = B2 - A2  # (e2, 3)
+    a = jnp.sum(d1 * d1, -1)  # (e1,)
+    e = jnp.sum(d2 * d2, -1)  # (e2,)
+    b = d1 @ d2.T  # (e1, e2)
+    c = jnp.sum(d1 * A1, -1)[:, None] - d1 @ A2.T  # d1 . (a1 - a2)
+    f = A1 @ d2.T - jnp.sum(d2 * A2, -1)[None, :]  # d2 . (a1 - a2)
+    aa = a[:, None]
+    ee = e[None, :]
+    denom = aa * ee - b * b
+    s = jnp.where(denom > _EPS,
+                  jnp.clip((b * f - c * ee) / jnp.maximum(denom, _EPS),
+                           0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(ee, _EPS)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(aa, _EPS), 0.0, 1.0)
+    rr = (jnp.sum(A1 * A1, -1)[:, None] + jnp.sum(A2 * A2, -1)[None, :]
+          - 2.0 * (A1 @ A2.T))
+    # |r + s d1 - t d2|^2 expanded in the precomputed dot products
+    return (rr + s * s * aa + t_cl * t_cl * ee
+            + 2.0 * s * c - 2.0 * t_cl * f - 2.0 * s * t_cl * b)
+
+
+def _point_tri_d2_grid(P, TA, TB, TC):
+    """(n_p, n_t) squared point-triangle distances in matmul form.
+
+    Identical region cascade to ``_point_tri_closest`` but carried as
+    barycentric (v, w) pairs; the final distance is the quadratic
+    |p - a - v ab - w ac|^2 in dot products."""
+    ab = TB - TA  # (t, 3)
+    ac = TC - TA
+    d1 = P @ ab.T - jnp.sum(ab * TA, -1)[None, :]  # ab . (p - a)
+    d2 = P @ ac.T - jnp.sum(ac * TA, -1)[None, :]
+    d3 = P @ ab.T - jnp.sum(ab * TB, -1)[None, :]  # ab . (p - b)
+    d4 = P @ ac.T - jnp.sum(ac * TB, -1)[None, :]
+    d5 = P @ ab.T - jnp.sum(ab * TC, -1)[None, :]
+    d6 = P @ ac.T - jnp.sum(ac * TC, -1)[None, :]
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom_face = va + vb + vc
+    face_ok = jnp.abs(denom_face) > _EPS
+    v = jnp.where(face_ok, vb / jnp.where(face_ok, denom_face, 1.0), 0.0)
+    w = jnp.where(face_ok, vc / jnp.where(face_ok, denom_face, 1.0), 0.0)
+    # edge regions overwrite in the same priority order as the point form
+    w_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), _EPS),
+                    0.0, 1.0)
+    m = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+    v = jnp.where(m, 1.0 - w_bc, v)
+    w = jnp.where(m, w_bc, w)
+    w_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, _EPS), 0.0, 1.0)
+    m = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    v = jnp.where(m, 0.0, v)
+    w = jnp.where(m, w_ac, w)
+    v_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, _EPS), 0.0, 1.0)
+    m = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    v = jnp.where(m, v_ab, v)
+    w = jnp.where(m, 0.0, w)
+    m = (d6 >= 0) & (d5 <= d6)  # vertex c
+    v = jnp.where(m, 0.0, v)
+    w = jnp.where(m, 1.0, w)
+    m = (d3 >= 0) & (d4 <= d3)  # vertex b
+    v = jnp.where(m, 1.0, v)
+    w = jnp.where(m, 0.0, w)
+    m = (d1 <= 0) & (d2 <= 0)  # vertex a
+    v = jnp.where(m, 0.0, v)
+    w = jnp.where(m, 0.0, w)
+
+    pa2 = (jnp.sum(P * P, -1)[:, None] + jnp.sum(TA * TA, -1)[None, :]
+           - 2.0 * (P @ TA.T))  # |p - a|^2
+    abab = jnp.sum(ab * ab, -1)[None, :]
+    acac = jnp.sum(ac * ac, -1)[None, :]
+    abac = jnp.sum(ab * ac, -1)[None, :]
+    return (pa2 + v * v * abab + w * w * acac
+            - 2.0 * v * d1 - 2.0 * w * d2 + 2.0 * v * w * abac)
+
+
 def make_feature_distance(n1: int, n2: int):
     """Build the exact feature-enumeration signed distance for vertex-set
     sizes (n1, n2): ``fn(V1, r1, V2, r2) -> signed distance`` between
@@ -410,7 +495,11 @@ def make_feature_distance(n1: int, n2: int):
     it from every Jacobian column); only the WINNING candidate's closed form
     is recomputed differentiably, so each tangent pays one segseg or one
     point-tri, not the whole enumeration (the same envelope treatment as
-    the FW path's ``_fw_weights`` custom_jvp)."""
+    the FW path's ``_fw_weights`` custom_jvp).
+
+    HBM cost: the sweep computes squared distances ONLY, via dot-product
+    grids (``_seg_seg_d2_grid`` / ``_point_tri_d2_grid``) — matmuls plus a
+    fusable clamp cascade, never per-candidate closest points."""
     import numpy as _np
     E1, T1 = small_hull_topology(n1)
     E2, T2 = small_hull_topology(n2)
@@ -434,39 +523,23 @@ def make_feature_distance(n1: int, n2: int):
     E1j, T1j = jnp.asarray(E1), jnp.asarray(T1.reshape(-1, 3))
     E2j, T2j = jnp.asarray(E2), jnp.asarray(T2.reshape(-1, 3))
 
-    def _candidates(V1, V2):
+    def _candidate_d2(V1, V2):
         A1, B1 = V1[E1[:, 0]], V1[E1[:, 1]]  # (e1,3)
         A2, B2 = V2[E2[:, 0]], V2[E2[:, 1]]  # (e2,3)
-        p_ee, q_ee = jax.vmap(
-            lambda a1, b1: jax.vmap(
-                lambda a2, b2: _seg_seg_closest(a1, b1, a2, b2))(A2, B2)
-        )(A1, B1)
-        P = [p_ee.reshape(-1, 3)]
-        Q = [q_ee.reshape(-1, 3)]
+        ds = [_seg_seg_d2_grid(A1, B1, A2, B2).reshape(-1)]
         if len(T2):
-            t2a, t2b, t2c = V2[T2[:, 0]], V2[T2[:, 1]], V2[T2[:, 2]]
-            q_vt = jax.vmap(lambda p: jax.vmap(
-                lambda a, b, c: _point_tri_closest(p, a, b, c)
-            )(t2a, t2b, t2c))(V1)  # (n1, t2, 3)
-            P.append(jnp.broadcast_to(V1[:, None, :],
-                                      q_vt.shape).reshape(-1, 3))
-            Q.append(q_vt.reshape(-1, 3))
+            ds.append(_point_tri_d2_grid(
+                V1, V2[T2[:, 0]], V2[T2[:, 1]], V2[T2[:, 2]]).reshape(-1))
         if len(T1):
-            t1a, t1b, t1c = V1[T1[:, 0]], V1[T1[:, 1]], V1[T1[:, 2]]
-            p_vt = jax.vmap(lambda p: jax.vmap(
-                lambda a, b, c: _point_tri_closest(p, a, b, c)
-            )(t1a, t1b, t1c))(V2)  # (n2, t1, 3)
-            Q.append(jnp.broadcast_to(V2[:, None, :],
-                                      p_vt.shape).reshape(-1, 3))
-            P.append(p_vt.reshape(-1, 3))
-        return jnp.concatenate(P, 0), jnp.concatenate(Q, 0)
+            ds.append(_point_tri_d2_grid(
+                V2, V1[T1[:, 0]], V1[T1[:, 1]], V1[T1[:, 2]]).reshape(-1))
+        return jnp.concatenate(ds, 0)
 
     def fn(V1, r1, V2, r2):
         dt = V1.dtype
         V1c = jax.lax.stop_gradient(V1)
         V2c = jax.lax.stop_gradient(V2)
-        Pa, Qa = _candidates(V1c, V2c)
-        d2 = jnp.sum((Pa - Qa) ** 2, axis=1)
+        d2 = _candidate_d2(V1c, V2c)
         k = jnp.argmin(d2)
         ck, ak, bk = CT[k], IA[k], IB[k]
 
@@ -495,9 +568,13 @@ def make_feature_distance(n1: int, n2: int):
         # exact separation predicate (non-differentiable by construction):
         # the plane normal to the closest-pair direction must separate the
         # vertex sets (supporting-plane property of the true closest pair;
-        # any overlap makes every projection overlap)
-        gap_c = jnp.sqrt(jnp.maximum(d2[k], _EPS))
-        n = (Qa[k] - Pa[k]) / jnp.maximum(gap_c, _EPS)
+        # any overlap makes every projection overlap).  The winner
+        # recompute's closest points stand in for the sweep's (the sweep
+        # now carries squared distances only)
+        p_c = jax.lax.stop_gradient(p_star)
+        q_c = jax.lax.stop_gradient(q_star)
+        gap_c = _safe_norm(q_c - p_c)
+        n = (q_c - p_c) / jnp.maximum(gap_c, _EPS)
         margin = jnp.min(V2c @ n) - jnp.max(V1c @ n)
         sep = (gap_c > jnp.asarray(1e-6, dt)) & \
             (margin > jnp.asarray(-1e-6, dt) * jnp.maximum(gap_c, 1.0))

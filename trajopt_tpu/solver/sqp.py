@@ -467,14 +467,19 @@ def _solve(spec: ProblemSpec, params: SQPParams, data: ProblemData) -> SQPResult
     # factorization are in play (the dense row matrix dominates HBM traffic
     # at flagship shapes).  Rows coupling up to c steps (acc/jerk stencils)
     # keep the 2-window format at superblock size c * n_cols via
-    # ops.banded_rows.regroup, so the requirement is kkt_block == c * n_cols.
+    # ops.banded_rows.regroup; any kkt_block = k * n_cols with k >= c is
+    # valid — coarser superblocks shorten the sequential scan-Cholesky
+    # chain (fewer, fatter blocks) at O(k^2) block cost, a tunable
+    # seriality/arithmetic trade on TPU.
     c_band = _band_coupling(spec)
+    blk_c = (p.qp.kkt_block // spec.n_cols
+             if spec.n_cols > 0 and p.qp.kkt_block > 0
+             and p.qp.kkt_block % spec.n_cols == 0 else 0)
     banded_rows = (plan.all_rows_banded and qp_solver == "ipm"
-                   and c_band is not None and c_band >= 1
-                   and p.qp.kkt_block == c_band * spec.n_cols
-                   and spec.n_steps % c_band == 0
+                   and c_band is not None and blk_c >= max(c_band, 1)
+                   and spec.n_steps % blk_c == 0
                    and spec.n_x >= 2 * p.qp.kkt_block)
-    band_c = c_band if banded_rows else 1
+    band_c = blk_c if banded_rows else 1
 
     x0 = jnp.clip(data.x0, data.lb, data.ub)  # getClosestFeasiblePoint
     dt = x0.dtype
@@ -791,9 +796,11 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
                                      max_time=float("inf"))
 
     def _resumable(res, spent):
-        status = np.asarray(res.status)
-        n_qp = np.asarray(res.n_qp_solves)
-        sqp_it = np.asarray(res.sqp_it)
+        # ONE device->host fetch for all three fields: under a tunneled
+        # device every transfer is a full network round-trip (~28 ms
+        # measured), so per-field np.asarray costs 3x the latency
+        status, n_qp, sqp_it = jax.device_get(
+            (res.status, res.n_qp_solves, res.sqp_it))
         # resumable = exhausted every phase budget so far while still
         # RUNNING (see docstring); terminal iteration limits are excluded
         # by sqp_it < max_iter
