@@ -55,14 +55,21 @@ if os.environ.get("TRAJOPT_TPU_CACHE_WRITE") != "1":
 
     _cc.put_executable_and_time = _no_cache_write
 
-# Modules that are run in a fresh child process by test_zzz_isolated.py
-# rather than collected here.  The PR2 reference-parity module reproducibly
-# segfaults XLA:CPU's compiler when it runs after ~100 other tests in the
-# same process (compile-state accumulation; each module alone is green).
-# Process isolation makes the one-command suite (`pytest tests -q`, what CI
-# runs) immune to that crash; the persistent compile cache keeps the child
-# fast on reruns.
-ISOLATED_MODULES = ("test_reference_parity.py",)
+# Modules that are run in fresh child processes by test_zzz_isolated.py
+# rather than collected here.  XLA:CPU on this image reproducibly crashes
+# (SIGSEGV in backend_compile_and_load, or SIGABRT in
+# executable.serialize) in processes that have already done several large
+# planning-solve compiles — each program alone compiles fine.  Process
+# isolation makes the one-command suite (`pytest tests -q`, what CI runs)
+# immune: "module" runs the whole module in one child; "per-test" gives
+# EVERY test its own child (for modules whose tests each carry multiple
+# large compiles — the baseline-scenes pair crashes within a single
+# module run).  The persistent compile cache keeps children fast on
+# reruns (see warm_cache.py).
+ISOLATED_MODULES = {
+    "test_reference_parity.py": "module",
+    "test_baseline_scenes.py": "per-test",
+}
 
 if os.environ.get("TRAJOPT_TPU_ISOLATED_CHILD") != "1":
     collect_ignore = list(ISOLATED_MODULES)

@@ -62,21 +62,25 @@ def test_pick_and_place_chained():
 
 
 def test_redundant_rail_9dof():
-    spec, data, chain, world = make_redundant_rail(B, n_steps=T,
+    import dataclasses
+
+    T9 = 12
+    spec, data, chain, world = make_redundant_rail(B, n_steps=T9,
                                                    dtype=jnp.float64)
     assert chain.n_dof == 9
-    assert spec.n_x == T * 9
-    res = solve_batch_compact(spec, data, bench_params())
+    assert spec.n_x == T9 * 9
+    params = dataclasses.replace(bench_params(), max_total_qp_solves=60)
+    res = solve_batch_compact(spec, data, params)
     assert all(int(s) == CONVERGED for s in res.status), res.status
-    X = np.asarray(res.x).reshape(B, T, 9)
+    X = np.asarray(res.x).reshape(B, T9, 9)
     for i in range(B):
         d = float(trajectory_in_collision(world, jnp.asarray(X[i])))
         assert d >= 0.0, f"lane {i}: swept {d}"
     # the rail dofs are genuinely used: the carriage travels the span
     assert np.all(X[:, 0, 0] < -0.7) and np.all(X[:, -1, 0] > 0.7)
-    # straight-line init sweeps through the table (the scene is nontrivial)
+    # straight-line init sweeps through the shelf (the scene is nontrivial)
     q0 = jnp.asarray(Q9_START, jnp.float64)
     q1 = jnp.asarray(Q9_GOAL, jnp.float64)
-    a = jnp.linspace(0, 1, T)[:, None]
+    a = jnp.linspace(0, 1, T9)[:, None]
     assert float(trajectory_in_collision(
         world, (1 - a) * q0[None] + a * q1[None])) < 0.0

@@ -163,12 +163,13 @@ ARM7_WALL_URDF = ARM7_URDF.replace(
     '<origin xyz="0.60 0 0.50"/><parent link="base"/><child link="table"/>')
 
 # 9-DoF redundant-axes variant: the 7-DoF arm riding a 2-axis prismatic
-# gantry (external axes), table fixed to the WORLD so the carriage motion
-# sweeps the arm past it — the BASELINE "continuous collision with
-# redundant external axes, 9-DOF" config.
+# gantry (external axes), with a world-fixed overhead shelf the ARM (not
+# the gantry column — whose height no dof can change) sweeps through on
+# the straight-line carriage motion — the BASELINE "continuous collision
+# with redundant external axes, 9-DOF" config.
 ARM9_RAIL_URDF = ARM7_URDF.replace(
     '<collision><geometry><box size="0.8 1.2 0.06"/></geometry></collision>',
-    '<collision><geometry><box size="0.45 1.2 0.06"/></geometry></collision>'
+    '<collision><geometry><box size="0.45 1.2 0.30"/></geometry></collision>'
 ).replace(
     '<robot name="arm7">',
     '<robot name="arm9_rail">\n'
@@ -186,7 +187,7 @@ ARM9_RAIL_URDF = ARM7_URDF.replace(
     '  </joint>'
 ).replace(
     '<origin xyz="0.75 0 0.30"/><parent link="base"/><child link="table"/>',
-    '<origin xyz="0.45 0 0.30"/><parent link="rail"/><child link="table"/>')
+    '<origin xyz="0.45 0 0.65"/><parent link="rail"/><child link="table"/>')
 
 
 def spherebot() -> tuple[RobotModel, Chain]:
