@@ -41,6 +41,9 @@ def main():
     n_steps = 30
     spec, data, _, world = make_glass_upright(batch=batch, n_steps=n_steps,
                                               dtype=jnp.float32)
+    # device-resident problem data: numpy leaves would re-transfer through
+    # the (tunneled) device on every timed call (~28 ms per dispatch floor)
+    data = jax.device_put(data)
     params = bench_params()
 
     # two-phase straggler compaction: most lanes finish in ~6 QP solves;

@@ -26,7 +26,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/trajopt_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, "/root/repo")
 

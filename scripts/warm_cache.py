@@ -45,21 +45,37 @@ def main():
     env = dict(os.environ)
     env["TRAJOPT_TPU_CACHE_WRITE"] = "1"
     env["TRAJOPT_TPU_ISOLATED_CHILD"] = "1"  # collect isolated modules too
+    sys.path.insert(0, TESTS)
+    from conftest import ISOLATED_MODULES  # per-test module set
+
     failures = []
     for m in mods:
         path = os.path.join(TESTS, m)
         if not os.path.exists(path):
             print(f"skip {m}: not found")
             continue
+        targets = [path]
+        if ISOLATED_MODULES.get(m) == "per-test":
+            # one child per test: these modules accumulate enough large
+            # compiles in one process to hit the XLA crash
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", path, "--collect-only",
+                 "-q", "--no-header", "-p", "no:cacheprovider"],
+                env=env, cwd=HERE, capture_output=True, text=True)
+            ids = [ln.strip() for ln in r.stdout.splitlines() if "::" in ln]
+            targets = [os.path.join(HERE, t) for t in ids] or [path]
         t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", path, "-q", "--no-header",
-             "-p", "no:cacheprovider"],
-            env=env, cwd=TESTS, capture_output=True, text=True)
-        status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+        rcs = []
+        for tgt in targets:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", tgt, "-q", "--no-header",
+                 "-p", "no:cacheprovider"],
+                env=env, cwd=HERE, capture_output=True, text=True)
+            rcs.append(r.returncode)
+        status = "ok" if all(rc == 0 for rc in rcs) else f"rc={rcs}"
         print(f"{m}: {status} ({time.time() - t0:.0f}s)", flush=True)
-        if r.returncode != 0:
-            failures.append((m, r.returncode))
+        if any(rcs):
+            failures.append((m, rcs))
     if failures:
         print("NOTE: some modules exited nonzero (late cache-write aborts "
               "after green tests are expected occasionally; entries written "

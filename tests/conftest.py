@@ -55,20 +55,29 @@ if os.environ.get("TRAJOPT_TPU_CACHE_WRITE") != "1":
 
     _cc.put_executable_and_time = _no_cache_write
 
-# Modules that are run in fresh child processes by test_zzz_isolated.py
-# rather than collected here.  XLA:CPU on this image reproducibly crashes
+# EVERY test module runs in a fresh child process, driven by
+# test_zzz_isolated.py.  XLA:CPU on this image crashes nondeterministically
 # (SIGSEGV in backend_compile_and_load, or SIGABRT in
-# executable.serialize) in processes that have already done several large
-# planning-solve compiles — each program alone compiles fine.  Process
-# isolation makes the one-command suite (`pytest tests -q`, what CI runs)
-# immune: "module" runs the whole module in one child; "per-test" gives
-# EVERY test its own child (for modules whose tests each carry multiple
-# large compiles — the baseline-scenes pair crashes within a single
-# module run).  The persistent compile cache keeps children fast on
-# reruns (see warm_cache.py).
+# executable.serialize) in processes that have accumulated several large
+# compiles; the crash site moves between runs (round-3 review: PR2 parity
+# compile after 108 tests; round 4: the 9-DoF rail compile, then a cast
+# jacfwd compile at 47% of the suite) and every affected program compiles
+# fine in a fresh process.  The one-command suite (`pytest tests -q`,
+# what CI runs) therefore collects ONLY the orchestrator, whose parent
+# process performs no XLA compiles at all: "module" runs a module in one
+# child; "per-test" gives every test its own child (modules whose single
+# run accumulates enough compiles to crash).  The persistent compile
+# cache keeps children fast on reruns (see scripts/warm_cache.py).
+import glob as _glob
+
+_PER_TEST = {"test_baseline_scenes.py"}
 ISOLATED_MODULES = {
-    "test_reference_parity.py": "module",
-    "test_baseline_scenes.py": "per-test",
+    m: ("per-test" if m in _PER_TEST else "module")
+    for m in sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(os.path.dirname(__file__),
+                                         "test_*.py")))
+    if m != "test_zzz_isolated.py"
 }
 
 if os.environ.get("TRAJOPT_TPU_ISOLATED_CHILD") != "1":

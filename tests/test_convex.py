@@ -185,21 +185,21 @@ def test_fw_gradient_fd_near_degeneracy():
 
     for name, (R2, c2) in cases.items():
         g = np.asarray(jax.jacfwd(lambda c: dist(c, R2))(c2))
+        # degenerate cases (parallel face/edge pairings, touching, shallow
+        # penetration) resolve through the fixed 26-direction cover, where
+        # the value is locally smooth and the gradient exact at a tiny FD
+        # step.  The generic rotated case takes the polished estimated
+        # direction, whose micro-kinks (the ascent path hops between
+        # near-equal contact pairings) make a 1e-6 step straddle branch
+        # slopes — a coarse step averages across them; the documented
+        # envelope bound is |grad - FD| < 0.03.
+        eps, tol = (2e-3, 0.03) if name == "generic" else (1e-6, 5e-4)
         fd = np.zeros(3)
-        eps = 1e-6
         for k in range(3):
             e = np.zeros(3)
             e[k] = eps
             fd[k] = (float(dist(c2 + e, R2)) - float(dist(c2 - e, R2))) \
                 / (2 * eps)
-        # degenerate cases (parallel face/edge pairings, touching, shallow
-        # penetration) resolve through the fixed 26-direction cover, where
-        # the gradient is exact; the generic rotated case takes the FW
-        # direction, whose envelope error at 24 iterations is the
-        # documented bound here: |grad - FD| < 0.03 (the FW *direction*
-        # residual; the old primal-gap formulation measured ~0.28 on the
-        # face-face case, which the separation form eliminates)
-        tol = 0.03 if name == "generic" else 5e-4
         np.testing.assert_allclose(g, fd, atol=tol,
                                    err_msg=f"case {name}: {g} vs {fd}")
         # gradient magnitude sanity: a separating translation gradient is a

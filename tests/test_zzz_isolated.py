@@ -1,21 +1,18 @@
-"""Run crash-prone heavy-compile modules in fresh child processes.
+"""The suite orchestrator: every test module runs in a fresh child process.
 
-XLA:CPU on this image intermittently crashes in processes that have
-already performed several large planning-solve compiles: SIGSEGV inside
-``backend_compile_and_load`` (round-3 review, 2/2 full-suite runs; round
-4 at the 9-DoF rail compile after the pick-and-place compiles) or
-SIGABRT inside ``executable.serialize`` (cache writes — now disabled
-under pytest, conftest.py).  Every affected program compiles fine in a
-fresh process, so the suite stays green as ONE command
-(`python -m pytest tests -q`, exactly what CI runs — the reference's
-ctest-everything discipline, /root/reference/ci/ubuntu.yml:63) by running
-those modules in child processes: whole-module children where one test's
-compiles are safe, per-test children where a single module accumulates
-too many large compiles (conftest.ISOLATED_MODULES).
-
-Named zzz so the heavy replays run last; the persistent compile cache
-(zlib-compressed, populated by scripts/warm_cache.py) keeps children
-fast on reruns.
+XLA:CPU on this image crashes nondeterministically in processes that
+have accumulated several large compiles — SIGSEGV inside
+``backend_compile_and_load`` or SIGABRT inside ``executable.serialize``
+(cache writes, now disabled under pytest); the crash site moves between
+runs and every affected program compiles fine in a fresh process (see
+conftest.py).  The one-command suite (`python -m pytest tests -q`,
+exactly what CI runs — the reference's ctest-everything discipline,
+/root/reference/ci/ubuntu.yml:63) therefore collects ONLY this module;
+the parent performs no XLA compiles, so it cannot crash.  Modules run as
+whole-module children, or one child per test where a single module's
+compiles are enough to crash (conftest.ISOLATED_MODULES).  The
+persistent compile cache (zlib-compressed, populated by
+scripts/warm_cache.py) keeps children fast on reruns.
 """
 
 import os

@@ -225,8 +225,36 @@ def d_convex_convex(V1, r1, V2, r2, iters: int = 24):
     n = jax.lax.stop_gradient(jnp.where(
         pn > 1e-9, p / jnp.maximum(pn, _EPS),
         jnp.asarray(_PEN_DIRS[0], V1.dtype)))
-    U = jnp.concatenate(
+    U0 = jnp.concatenate(
         [jnp.asarray(_PEN_DIRS, V1.dtype), n[None, :], -n[None, :]], axis=0)
+    V1c = jax.lax.stop_gradient(V1)
+    V2c = jax.lax.stop_gradient(V2)
+
+    # direction polish: sep(u) = min u.b - max u.a is CONCAVE in u with
+    # supergradient (b* - a*); a few projected-ascent steps from the best
+    # cover/FW direction tighten the lower bound to near-exact on general
+    # hulls (the cover is exact only for lattice-aligned contacts, and the
+    # FW direction carries O(1/iters) residual).  All on stop-gradient
+    # vertices — the polished direction is data, not a differentiation path.
+    def _sep_c(u):
+        return jnp.min(V2c @ u) - jnp.max(V1c @ u)
+
+    sep0 = jnp.min(V2c @ U0.T, axis=0) - jnp.max(V1c @ U0.T, axis=0)
+    u = U0[jnp.argmax(sep0)]
+    best_u = u
+    best_sep = jnp.max(sep0)
+    for t in (0.5, 0.25, 0.12, 0.06, 0.03, 0.015):
+        a_star = V1c[jnp.argmax(V1c @ u)]
+        b_star = V2c[jnp.argmin(V2c @ u)]
+        g = b_star - a_star
+        u = u + t * g / jnp.maximum(_safe_norm(g), _EPS)
+        u = u / jnp.maximum(_safe_norm(u), _EPS)
+        s = _sep_c(u)
+        better = s > best_sep
+        best_u = jnp.where(better, u, best_u)
+        best_sep = jnp.where(better, s, best_sep)
+
+    U = jnp.concatenate([U0, best_u[None, :]], axis=0)
     # separation along u: (closest face of B above) - (farthest of A below)
     sep = jnp.min(V2 @ U.T, axis=0) - jnp.max(V1 @ U.T, axis=0)
     return jnp.max(sep) - (r1 + r2)
