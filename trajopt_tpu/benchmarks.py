@@ -55,7 +55,7 @@ def bench_params(dtype=jnp.float32) -> SQPParams:
         max_total_qp_solves=30,
         qp=QPSettings(eps_abs=1e-4, eps_rel=1e-6, max_iter=1000,
                       check_interval=25, adaptive_rho_interval=100,
-                      solver="ipm", max_ipm_iter=25),
+                      solver="ipm", max_ipm_iter=16),
     )
 
 
