@@ -42,6 +42,14 @@ jax.config.update("jax_enable_x64", True)
 # zstd-written entries are never fed to zlib.decompress.
 from jax._src import compilation_cache as _cc
 
+# fail LOUDLY if a jax upgrade renames the patched internals (setting an
+# attribute always succeeds, so a silent no-op would bring the crashy
+# zstd/serialize paths back as nondeterministic suite SIGABRTs with no
+# pointer here) — ADVICE r4: assert the symbols exist before patching
+assert hasattr(_cc, "zstandard") and hasattr(_cc, "put_executable_and_time"), (
+    "jax internals changed (jax " + jax.__version__ + "): the compilation-"
+    "cache stability patch in tests/conftest.py no longer applies — "
+    "re-verify the zstd-compress / serialize-on-write crash workaround")
 _cc.zstandard = None
 if hasattr(_cc, "zstd"):
     _cc.zstd = None
@@ -50,7 +58,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 if os.environ.get("TRAJOPT_TPU_CACHE_WRITE") != "1":
-    def _no_cache_write(cache_key, compile_time, executable, backend):
+    # *args: jax 0.9 passes 5 positionals (the extra min_compile_time);
+    # a fixed 4-arg signature made every call raise-and-warn instead of
+    # silently skipping the write
+    def _no_cache_write(*_args, **_kw):
         return None
 
     _cc.put_executable_and_time = _no_cache_write

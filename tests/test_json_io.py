@@ -236,3 +236,60 @@ def test_dynamic_cart_pose_json():
     tool, l4 = chain.link_index("tool"), chain.link_index("l4")
     target_world = np.asarray(R[l4] @ jnp.asarray([0.1478, 0.0, 0.5335]) + p[l4])
     np.testing.assert_allclose(np.asarray(p[tool]), target_world, atol=1e-3)
+
+
+def test_user_registered_term_type():
+    """Runtime-registered JSON term types (TermInfo::RegisterMaker,
+    problem_description.cpp:53-66): a custom Python term is reachable from
+    a JSON document, drives the solve, and kind-mismatch is rejected."""
+    from trajopt_tpu.problem.json_io import (register_term_type,
+                                             unregister_term_type)
+    from trajopt_tpu.terms.base import TermKind
+    from trajopt_tpu.terms.user import user_defined_term
+
+    def maker(entry, ctx):
+        p = entry.get("params", {})
+        target = np.asarray(p["target"], dtype=np.float64)
+        kind = TermKind.EQ if ctx["is_constraint"] else TermKind.SQUARED
+        term = user_defined_term(
+            ctx["name"], kind, ctx["n_steps"], ctx["n_dof"],
+            lambda q, pp: q - pp["target"], rows_per_step=ctx["n_dof"],
+            first_step=ctx["n_steps"] - 1)
+        return term, {"target": jnp.asarray(target)}
+
+    register_term_type("my_goal", maker)
+    try:
+        m, chain = spherebot()
+        doc = {
+            "basic_info": {"n_steps": 4, "manip": "manipulator"},
+            "costs": [
+                {"type": "joint_vel", "name": "jv",
+                 "params": {"coeffs": [1], "targets": [0, 0]}},
+            ],
+            "constraints": [
+                {"type": "my_goal", "name": "g",
+                 "params": {"target": [0.4, -0.3]}},
+            ],
+            "init_info": {"type": "stationary", "data": [1.0, 1.0]},
+        }
+        spec, data, params = load_problem(doc, chain, None, qp=QP)
+        res = solve(spec, data, params)
+        assert int(res.status) == CONVERGED
+        X = np.asarray(res.x).reshape(4, 2)
+        np.testing.assert_allclose(X[-1], [0.4, -0.3], atol=1e-5)
+
+        # kind mismatch: a cost-kind term under "constraints" must raise
+        def bad_maker(entry, ctx):
+            term = user_defined_term(
+                "bad", TermKind.SQUARED, ctx["n_steps"], ctx["n_dof"],
+                lambda q, pp: q, rows_per_step=ctx["n_dof"])
+            return term, {}
+
+        register_term_type("bad_goal", bad_maker)
+        doc_bad = dict(doc)
+        doc_bad["constraints"] = [{"type": "bad_goal"}]
+        with pytest.raises(ValueError, match="term-type check"):
+            load_problem(doc_bad, chain, None, qp=QP)
+    finally:
+        unregister_term_type("my_goal")
+        unregister_term_type("bad_goal")

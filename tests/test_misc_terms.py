@@ -41,6 +41,43 @@ def test_avoid_singularity_moves_away():
     assert sig_min(res.x) > sig_min(q0) + 1e-3
 
 
+def test_avoid_singularity_subset_chain():
+    """Subset-chain variant (AvoidSingularitySubsetErrCalculator,
+    kinematic_terms.cpp:644-678): the error equals sigma_min over the
+    subset Jacobian columns, and optimizing it improves the WRIST
+    sub-chain manipulability even where the full-chain term would not
+    target it."""
+    _, chain = arm7()
+    T, D = 1, 7
+    wrist = list(chain.joint_names[4:])  # 3-joint wrist sub-chain
+    q0 = jnp.asarray([0.3, 0.8, 0.2, -0.9, 0.0, 0.02, 0.0])  # wrist aligned
+
+    term = avoid_singularity_term("sing_sub", chain, T, "tool",
+                                  subset_joints=wrist)
+
+    def sub_sig_min(q):
+        J = chain.jacobian(q, chain.link_index("tool"))[:, 4:]
+        return float(jnp.linalg.svd(J, compute_uv=False)[-1])
+
+    # error definition check: 1/(sigma_min(J_subset) + lambda)
+    e = float(term.err(stationary_init(q0, T).reshape(-1), {"coeffs": 1.0})[0])
+    np.testing.assert_allclose(e, 1.0 / (sub_sig_min(q0) + 1e-3), rtol=1e-6)
+
+    b = TrajProblemBuilder(chain, T)
+    b.add_cost(term, {"coeffs": jnp.asarray(1.0)})
+    b.add_cost(joint_pos_term("stay", T, D),
+               {"targets": q0, "coeffs": jnp.full(D, 0.1)})
+    spec, data = b.build(stationary_init(q0, T))
+    res = solve(spec, data, PARAMS)
+    assert sub_sig_min(res.x) > sub_sig_min(q0) + 1e-3
+
+    # unknown subset joints are rejected
+    import pytest
+    with pytest.raises(ValueError, match="subset_joints"):
+        avoid_singularity_term("bad", chain, T, "tool",
+                               subset_joints=["nope"])
+
+
 def test_user_defined_constraint():
     # keep x0 + x1 == 1 at every step via a user term (spherebot, 2 dof)
     _, chain = spherebot()
@@ -162,6 +199,29 @@ def test_telemetry_and_history():
     assert len(vars_rows) == n_qp + 1  # per-iteration rows + final x
     assert np.allclose([float(v) for v in vars_rows[-2].split(",")],
                        np.asarray(res.history_x)[n_qp - 1], atol=1e-12)
+
+    # per-iteration PER-TERM cost/constraint columns (the reference's
+    # trajopt_costs.log / trajopt_constraints.log streams record every
+    # term's value at EVERY iteration, optimizers.cpp:528-642): passing
+    # ``data`` reconstructs them from history_x
+    from trajopt_tpu.utils.telemetry import per_term_history
+    cv, vv = per_term_history(res, spec, data)
+    assert cv.shape == (n_qp, len(spec.cost_terms))
+    assert vv.shape[0] == n_qp
+    # the last recorded iterate's values must equal the result's
+    np.testing.assert_allclose(cv[-1], np.asarray(res.cost_vals), atol=1e-12)
+    np.testing.assert_allclose(vv[-1], np.asarray(res.cnt_viols), atol=1e-12)
+    # cost decreases overall on this convex problem
+    assert cv[-1].sum() <= cv[0].sum() + 1e-9
+    paths = write_logs(res, spec, log_dir="/tmp/trajopt_tpu_test_logs3",
+                       data=data)
+    cost_rows = open(paths[1]).read().strip().splitlines()
+    assert len(cost_rows) == 1 + n_qp + 1  # header + per-iter + final
+    cnt_rows = open(paths[2]).read().strip().splitlines()
+    assert len(cnt_rows) == 1 + n_qp + 1
+    # header matches the per-entry naming (viol_groups expansion)
+    from trajopt_tpu.utils.telemetry import constraint_entry_names
+    assert cnt_rows[0] == ",".join(constraint_entry_names(spec))
 
 
 def test_sharded_batch_solve():

@@ -37,7 +37,7 @@ from .ops.qp import QPSettings
 from .problem.trajectory import TrajProblemBuilder, interpolated_init, stack_data
 from .solver.types import SQPParams
 from .terms.cartesian import upright_term
-from .terms.collision import cast_collision_term
+from .terms.collision import CastDistancePre, cast_collision_term
 from .terms.joint import joint_pos_term, joint_vel_term
 
 Q_START = np.array([-1.1, 1.6, 0.0, -0.8, 0.0, -0.8, 0.0])
@@ -73,7 +73,10 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
     b = TrajProblemBuilder(chain, T)
     b.add_cost(joint_vel_term("jvel", T, D),
                {"targets": np.zeros(D, dtype), "coeffs": np.full(D, 5.0, dtype)})
-    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
+    # ONE shared swept-distance pipeline feeds both collision terms (the
+    # reference's contact-result cache sharing, collision_terms.cpp:440-466)
+    cpre = CastDistancePre(world, T, n_sub=n_sub)
+    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub, pre=cpre),
                {"margins": np.asarray(0.025, dtype),
                 "coeffs": np.asarray(20.0, dtype)})
     # collision also enters as a CONSTRAINT at a tighter margin: a lane that
@@ -84,7 +87,7 @@ def make_glass_upright(batch: int, n_steps: int = 30, dtype=jnp.float32,
     # agree with that check before claiming success)
     b.add_constraint(
         cast_collision_term("coll_cnt", world, T, n_sub=n_sub,
-                            is_constraint=True),
+                            is_constraint=True, pre=cpre),
         {"margins": np.asarray(0.005, dtype),
          "coeffs": np.asarray(1.0, dtype)})
     b.add_constraint(
@@ -246,12 +249,13 @@ def _pnp_builder(world, chain, T, dtype, n_sub, goal):
     b = TrajProblemBuilder(chain, T)
     b.add_cost(joint_vel_term("jvel", T, D),
                {"targets": np.zeros(D, dtype), "coeffs": np.full(D, 5.0, dtype)})
-    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
+    cpre = CastDistancePre(world, T, n_sub=n_sub)
+    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub, pre=cpre),
                {"margins": np.asarray(0.025, dtype),
                 "coeffs": np.asarray(20.0, dtype)})
     b.add_constraint(
         cast_collision_term("coll_cnt", world, T, n_sub=n_sub,
-                            is_constraint=True),
+                            is_constraint=True, pre=cpre),
         {"margins": np.asarray(0.005, dtype),
          "coeffs": np.asarray(1.0, dtype)})
     b.add_constraint(
@@ -362,12 +366,13 @@ def make_redundant_rail(batch: int, n_steps: int = 15, dtype=jnp.float32,
     b = TrajProblemBuilder(chain, T)
     b.add_cost(joint_vel_term("jvel", T, D),
                {"targets": np.zeros(D, dtype), "coeffs": np.full(D, 5.0, dtype)})
-    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub),
+    cpre = CastDistancePre(world, T, n_sub=n_sub)
+    b.add_cost(cast_collision_term("coll", world, T, n_sub=n_sub, pre=cpre),
                {"margins": np.asarray(0.025, dtype),
                 "coeffs": np.asarray(20.0, dtype)})
     b.add_constraint(
         cast_collision_term("coll_cnt", world, T, n_sub=n_sub,
-                            is_constraint=True),
+                            is_constraint=True, pre=cpre),
         {"margins": np.asarray(0.005, dtype),
          "coeffs": np.asarray(1.0, dtype)})
     b.add_constraint(

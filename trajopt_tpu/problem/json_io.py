@@ -53,6 +53,38 @@ _JOINT_ORDERS = {"joint_pos": 0, "joint_vel": 1, "joint_acc": 2, "joint_jerk": 3
 
 _TERM_FIELDS = {"type", "name", "use_time", "params"}
 
+# ---------------------------------------------------------------------------
+# User-extensible term registry (TermInfo::RegisterMaker,
+# trajopt/src/problem_description.cpp:53-66, decl
+# include/trajopt/problem_description.hpp:102-116): ``load_problem``
+# consults this map BEFORE the built-in chain, so user types can be added
+# at runtime and built-in names can be overridden, exactly like the
+# reference's name->maker map.
+# ---------------------------------------------------------------------------
+
+_USER_TERM_MAKERS: dict = {}
+
+
+def register_term_type(name: str, maker) -> None:
+    """Register a JSON-loadable term type.
+
+    ``maker(entry, ctx) -> (Term, params)`` receives the raw JSON term
+    dict (``{"type", "name", "use_time", "params"}``) and a context dict
+    ``{"chain", "world", "n_steps", "n_dof", "n_cols", "use_time",
+    "is_constraint", "name"}``; it returns the :class:`~trajopt_tpu.terms.
+    base.Term` plus its per-instance params pytree.  The returned term's
+    kind must match ``is_constraint`` (cost kinds under ``costs``,
+    EQ/INEQ under ``constraints``) — ``load_problem`` validates this like
+    ``ConstructProblem``'s term-type check (problem_description.cpp:
+    416-452)."""
+    if not callable(maker):
+        raise TypeError(f"maker for {name!r} must be callable")
+    _USER_TERM_MAKERS[name] = maker
+
+
+def unregister_term_type(name: str) -> None:
+    _USER_TERM_MAKERS.pop(name, None)
+
 
 def _only(params: dict, allowed: set, ctx: str):
     extra = set(params) - allowed
@@ -187,11 +219,33 @@ def load_problem(doc: dict | str, chain: Chain,
     max_step_dist = float(np.max(np.linalg.norm(np.diff(X0np, axis=0),
                                                 axis=1))) if T > 1 else 0.0
 
+    # shared-precompute caches: collision cost + constraint entries over
+    # the same (world, steps, substates) get ONE distance pipeline (the
+    # reference's contact-result cache, collision_terms.cpp:440-466); the
+    # pruned-world cache makes identically-culled terms share a world
+    # object so the pre cache can hit
+    pre_cache: dict = {}
+    prune_cache: dict = {}
+
     def add_term(entry: dict, is_constraint: bool, idx: int):
         ttype = entry["type"]
         name = entry.get("name", f"{ttype}_{idx}")
         term_time = _bool(entry.get("use_time", False), ttype)
         params = dict(entry.get("params", {}))
+
+        if ttype in _USER_TERM_MAKERS:  # registry first (RegisterMaker)
+            ctx = {"chain": chain, "world": world, "n_steps": T,
+                   "n_dof": D, "n_cols": NC, "use_time": term_time,
+                   "is_constraint": is_constraint, "name": name}
+            term, p = _USER_TERM_MAKERS[ttype](entry, ctx)
+            if term.is_cost == is_constraint:
+                section = "constraints" if is_constraint else "costs"
+                raise ValueError(
+                    f"registered term {ttype!r} produced a "
+                    f"{'cost' if term.is_cost else 'constraint'} under "
+                    f"{section!r} (term-type check, "
+                    "problem_description.cpp:416-452)")
+            return term, p
 
         if ttype in _JOINT_ORDERS:
             order = _JOINT_ORDERS[ttype]
@@ -337,7 +391,10 @@ def load_problem(doc: dict | str, chain: Chain,
                 from ..collision.broadphase import prune_pairs
                 cull_dist = (max([margin] + list(pair_margins.values()))
                              + buffer)
-                cw = prune_pairs(world, cull_dist)
+                ck = (id(world), cull_dist)
+                if ck not in prune_cache:
+                    prune_cache[ck] = prune_pairs(world, cull_dist)
+                cw = prune_cache[ck]
                 known = {tuple(sorted(nm)) for nm in cw.pair_link_names()}
 
                 def _subset(ov):
@@ -363,10 +420,16 @@ def load_problem(doc: dict | str, chain: Chain,
             # enforced by equal variable bounds, so their step gradients are
             # inert in the QP — the field is accepted and needs no action.
             if ev <= 1 or T == 1:  # DISCRETE (or single step)
+                from ..terms.collision import DiscreteDistancePre
+                pk = ("disc", id(cw), T, first, last, NC)
+                if pk not in pre_cache:
+                    pre_cache[pk] = DiscreteDistancePre(
+                        cw, T, first_step=first, last_step=last, n_cols=NC)
                 term = discrete_collision_term(
                     name, cw, T, first_step=first, last_step=last,
                     is_constraint=is_constraint, n_cols=NC,
-                    weighted=weighted, max_contacts=mc, buffer=buffer)
+                    weighted=weighted, max_contacts=mc, buffer=buffer,
+                    pre=pre_cache[pk])
             else:  # LVS_DISCRETE / CONTINUOUS / LVS_CONTINUOUS -> swept
                 # longest_valid_segment_length sets the substate count:
                 # the reference interpolates ceil(dist/lvs)+1 substates per
@@ -380,10 +443,17 @@ def load_problem(doc: dict | str, chain: Chain,
                     n_sub_t = max(n_sub,
                                   min(int(np.ceil(max_step_dist / float(lvs)))
                                       + 1, n_sub_cap))
+                from ..terms.collision import CastDistancePre
+                pk = ("cast", id(cw), T, first, last, n_sub_t, NC)
+                if pk not in pre_cache:
+                    pre_cache[pk] = CastDistancePre(
+                        cw, T, first_step=first, last_step=last,
+                        n_sub=n_sub_t, n_cols=NC)
                 term = cast_collision_term(
                     name, cw, T, first_step=first, last_step=last,
                     n_sub=n_sub_t, is_constraint=is_constraint, n_cols=NC,
-                    weighted=weighted, max_contacts=mc, buffer=buffer)
+                    weighted=weighted, max_contacts=mc, buffer=buffer,
+                    pre=pre_cache[pk])
             return term, pair_p
 
         raise ValueError(f"unsupported term type: {ttype}")

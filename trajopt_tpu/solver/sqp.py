@@ -176,10 +176,24 @@ def _convexify(plan: _Plan, data: ProblemData, x: jax.Array,
     sq_blocks, h_blocks, a_blocks = [], [], []
     bh, gh, ba, ga = [], [], [], []
 
-    def _jac_or_banded(t, p, bands_B, bands_G):
+    # shared-precompute cache: terms carrying the same pre_fn object get
+    # their (value, jacobian) aux from ONE pass at this linearization point
+    # (the reference's per-x contact-result cache shared by a collision
+    # cost + constraint, collision_terms.cpp:440-466)
+    vj_cache: dict = {}
+
+    def _vj(t):
+        if t.pre_fn is None:
+            return None
+        k = id(t.pre_fn)
+        if k not in vj_cache:
+            vj_cache[k] = t.pre_fn.value_jac(x)
+        return vj_cache[k]
+
+    def _jac_or_banded(t, p, bands_B, bands_G, vj=None):
         if not banded_rows:
-            return t.jac(x, p)
-        out = t.jac_banded(x, p)
+            return t.jac(x, p, vj)
+        out = t.jac_banded(x, p, vj)
         groups = out if isinstance(out, list) else [out]
         for B, G in groups:
             B = B.astype(dt)
@@ -196,22 +210,32 @@ def _convexify(plan: _Plan, data: ProblemData, x: jax.Array,
 
     for i, t, _ in plan.sq:
         p = data.cost_params[i]
-        sq_blocks.append((t.err(x, p), t.jac(x, p), t.weights(p).astype(dt)))
+        vj = _vj(t)
+        sq_blocks.append((t.err(x, p, vj[0] if vj else None), t.jac(x, p, vj),
+                          t.weights(p).astype(dt)))
     for i, t, _ in plan.hin:
         p = data.cost_params[i]
-        h_blocks.append((t.err(x, p), _jac_or_banded(t, p, bh, gh),
+        vj = _vj(t)
+        h_blocks.append((t.err(x, p, vj[0] if vj else None),
+                         _jac_or_banded(t, p, bh, gh, vj),
                          t.weights(p).astype(dt)))
     for j, t, _ in plan.ineq:
         p = data.cnt_params[j]
-        h_blocks.append((t.err(x, p), _jac_or_banded(t, p, bh, gh),
+        vj = _vj(t)
+        h_blocks.append((t.err(x, p, vj[0] if vj else None),
+                         _jac_or_banded(t, p, bh, gh, vj),
                          jnp.ones((t.n_rows,), dt)))
     for i, t, _ in plan.ab:
         p = data.cost_params[i]
-        a_blocks.append((t.err(x, p), _jac_or_banded(t, p, ba, ga),
+        vj = _vj(t)
+        a_blocks.append((t.err(x, p, vj[0] if vj else None),
+                         _jac_or_banded(t, p, ba, ga, vj),
                          t.weights(p).astype(dt)))
     for j, t, _ in plan.eq:
         p = data.cnt_params[j]
-        a_blocks.append((t.err(x, p), _jac_or_banded(t, p, ba, ga),
+        vj = _vj(t)
+        a_blocks.append((t.err(x, p, vj[0] if vj else None),
+                         _jac_or_banded(t, p, ba, ga, vj),
                          jnp.ones((t.n_rows,), dt)))
 
     err_sq, J_sq, w_sq = _rows(sq_blocks, plan.m_sq, n_x, dt)
@@ -356,10 +380,21 @@ def _evaluate(spec: ProblemSpec, data: ProblemData, x: jax.Array):
     """Exact per-term costs and per-group violations at x."""
     dt = x.dtype
     n_cost = len(spec.cost_terms)
+    v_cache: dict = {}
+
+    def _v(t):
+        if t.pre_fn is None:
+            return None
+        k = id(t.pre_fn)
+        if k not in v_cache:
+            v_cache[k] = t.pre_fn.value(x)
+        return v_cache[k]
+
     cost_vals = jnp.zeros((n_cost,), dt)
     for i, t in enumerate(spec.cost_terms):
-        cost_vals = cost_vals.at[i].set(t.value(x, data.cost_params[i]))
-    vs = [t.violations(x, data.cnt_params[j]).astype(dt)
+        cost_vals = cost_vals.at[i].set(
+            t.value(x, data.cost_params[i], _v(t)))
+    vs = [t.violations(x, data.cnt_params[j], _v(t)).astype(dt)
           for j, t in enumerate(spec.cnt_terms)]
     viols = (jnp.concatenate(vs) if vs else jnp.zeros((0,), dt))
     return cost_vals, viols
@@ -876,20 +911,28 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
             H = params.record_history
             base = np.asarray(res.n_qp_solves)[idx]
             add = np.asarray(res2.n_qp_solves)[:n]
-            h_new = np.array(hist)
-            h2 = np.asarray(res2.history)
-            hx_new = np.array(hist_x) if params.record_history_x else None
-            hx2 = np.asarray(res2.history_x) if params.record_history_x else None
-            for k, lane in enumerate(idx):
-                o = int(base[k])
-                m = max(0, min(int(add[k]), H - o))
-                if m > 0:
-                    h_new[lane, o:o + m] = h2[k, :m]
-                    if hx_new is not None:
-                        hx_new[lane, o:o + m] = hx2[k, :m]
-            hist = jnp.asarray(h_new)
-            if hx_new is not None:
-                hist_x = jnp.asarray(hx_new)
+            if add.max(initial=0) > 0:  # skip the round-trip when no new rows
+                h_new = np.array(hist)
+                h2 = np.asarray(res2.history)
+                hx_new = np.array(hist_x) if params.record_history_x else None
+                hx2 = (np.asarray(res2.history_x)
+                       if params.record_history_x else None)
+                for k, lane in enumerate(idx):
+                    o = int(base[k])
+                    # clamp like the device-side writer (idx = clip(n_qp,
+                    # 0, H-1), _solve body): overflow rows collapse onto
+                    # the final row with the LAST one winning, so a
+                    # resumed lane's last recorded iterate matches the
+                    # single-phase contract even when the budget exceeds
+                    # record_history (ADVICE r4)
+                    for j in range(int(add[k])):
+                        g = min(o + j, H - 1)
+                        h_new[lane, g] = h2[k, min(j, H - 1)]
+                        if hx_new is not None:
+                            hx_new[lane, g] = hx2[k, min(j, H - 1)]
+                hist = jnp.asarray(h_new)
+                if hx_new is not None:
+                    hist_x = jnp.asarray(hx_new)
         res = res._replace(
             history=hist,
             history_x=hist_x,

@@ -90,6 +90,18 @@ class Term:
     # Jacobian (the flagship's dense row matrix is ~15x its nonzeros and
     # dominates HBM traffic otherwise).
     jac_banded_fn: Optional[Callable[[jax.Array, Any], Any]] = None
+    # shared precompute: an object with ``value(x)`` and ``value_jac(x)``
+    # methods whose outputs feed this term's fns as a third ``aux``
+    # argument.  Terms sharing the SAME object (by identity) are evaluated
+    # from ONE precompute pass per linearization point by the SQP engine —
+    # the analog of the reference's per-x contact-result cache shared by a
+    # CollisionCost and CollisionConstraint over the same evaluator
+    # (GetContactResultCached, trajopt/src/collision_terms.cpp:440-466).
+    # ``err``/``value``/``violations`` receive ``aux = pre_fn.value(x)``;
+    # ``jac``/``jac_banded`` receive ``aux = pre_fn.value_jac(x)`` (which
+    # includes the value).  All fns must also accept ``aux=None`` and fall
+    # back to computing the precompute internally (direct callers, tests).
+    pre_fn: Optional[Any] = None
 
     @property
     def is_cost(self) -> bool:
@@ -100,32 +112,37 @@ class Term:
             return jnp.ones((self.n_rows,))
         return jnp.asarray(self.weight_fn(params))
 
-    def err(self, x: jax.Array, params: Any) -> jax.Array:
-        e = self.fn(x, params)
+    def err(self, x: jax.Array, params: Any, aux: Any = None) -> jax.Array:
+        e = self.fn(x, params) if self.pre_fn is None \
+            else self.fn(x, params, aux)
         if self.kind == TermKind.GENERIC:
             return jnp.reshape(e, ())
         return jnp.reshape(e, (self.n_rows,))
 
-    def jac(self, x: jax.Array, params: Any) -> jax.Array:
+    def jac(self, x: jax.Array, params: Any, aux: Any = None) -> jax.Array:
         """Linearization (n_rows, n_x); GENERIC uses grad+Hessian elsewhere."""
         if self.jac_fn is not None:
-            return jnp.reshape(self.jac_fn(x, params), (self.n_rows, x.shape[0]))
+            j = self.jac_fn(x, params) if self.pre_fn is None \
+                else self.jac_fn(x, params, aux)
+            return jnp.reshape(j, (self.n_rows, x.shape[0]))
         return jnp.reshape(
             jax.jacfwd(lambda xx: self.err(xx, params))(x), (self.n_rows, x.shape[0])
         )
 
-    def jac_banded(self, x: jax.Array, params: Any):
+    def jac_banded(self, x: jax.Array, params: Any, aux: Any = None):
         """Banded-window linearization (see jac_banded_fn); None if the
         term has no banded form."""
         if self.jac_banded_fn is None:
             return None
-        return self.jac_banded_fn(x, params)
+        if self.pre_fn is None:
+            return self.jac_banded_fn(x, params)
+        return self.jac_banded_fn(x, params, aux)
 
-    def value(self, x: jax.Array, params: Any) -> jax.Array:
+    def value(self, x: jax.Array, params: Any, aux: Any = None) -> jax.Array:
         """Exact cost value (reference Cost::value semantics)."""
         if self.kind == TermKind.GENERIC:
-            return self.err(x, params)
-        e = self.err(x, params)
+            return self.err(x, params, aux)
+        e = self.err(x, params, aux)
         w = self.weights(params)
         if self.kind == TermKind.SQUARED:
             return jnp.sum(w * e * e)
@@ -135,16 +152,17 @@ class Term:
             return jnp.sum(w * jnp.maximum(e, 0.0))
         raise ValueError(f"value() on constraint term {self.name}")
 
-    def violation(self, x: jax.Array, params: Any) -> jax.Array:
+    def violation(self, x: jax.Array, params: Any, aux: Any = None) -> jax.Array:
         """Total exact violation (reference Constraint::violation,
         trajopt_sco/src/modeling.cpp:150-169)."""
-        return jnp.sum(self.violations(x, params))
+        return jnp.sum(self.violations(x, params, aux))
 
-    def violations(self, x: jax.Array, params: Any) -> jax.Array:
+    def violations(self, x: jax.Array, params: Any,
+                   aux: Any = None) -> jax.Array:
         """Per-group violations, shape (viol_groups,).  Each group is one
         reference-granularity constraint (its own merit coefficient and
         convergence entry); groups are consecutive equal row blocks."""
-        e = self.err(x, params)
+        e = self.err(x, params, aux)
         if self.kind == TermKind.EQ:
             v = jnp.abs(e)
         elif self.kind == TermKind.INEQ:
@@ -167,9 +185,10 @@ def abs_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
 
 
 def hinge_cost(name, n_rows, fn, weight_fn=None, jac_fn=None,
-               step_coupling=None, jac_banded_fn=None) -> Term:
+               step_coupling=None, jac_banded_fn=None, pre_fn=None) -> Term:
     return Term(name, TermKind.HINGE, n_rows, fn, weight_fn, jac_fn,
-                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn,
+                pre_fn=pre_fn)
 
 
 def generic_cost(name, fn) -> Term:
@@ -184,6 +203,7 @@ def eq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1,
 
 
 def ineq_constraint(name, n_rows, fn, jac_fn=None, viol_groups=1,
-                    step_coupling=None, jac_banded_fn=None) -> Term:
+                    step_coupling=None, jac_banded_fn=None, pre_fn=None) -> Term:
     return Term(name, TermKind.INEQ, n_rows, fn, None, jac_fn, viol_groups,
-                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn)
+                step_coupling=step_coupling, jac_banded_fn=jac_banded_fn,
+                pre_fn=pre_fn)
