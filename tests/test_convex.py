@@ -244,3 +244,51 @@ def test_cast_hull_gradient_fd():
                 / (2 * eps)
         np.testing.assert_allclose(g, fd, atol=5e-4, err_msg=str(s0))
         assert 0.9 < np.linalg.norm(g) < 1.1, (s0, g)
+
+
+def test_generic_feature_fd_random_hulls():
+    """FD-consistency of d_convex_auto (generic feature enumeration) on
+    RANDOM non-axis-aligned hulls across separation regimes — the ADVICE r4
+    finding: the FW max-separation path's frozen polished direction is not
+    stationary after finitely many ascent steps, and even a stationary
+    direction concentrates the gradient on one argmax vertex where the
+    true distance gradient spreads over the witness barycentrics (max
+    entry error ~0.30 measured).  d_convex_auto replaces it for small
+    point clouds with exact enumeration + witness-linear gradients."""
+    f = jax.jit(lambda Va, Vb: G.d_convex_auto(Va, 0.0, Vb, 0.0))
+    gradf = jax.jit(jax.grad(lambda Va, Vb: G.d_convex_auto(Va, 0.0, Vb, 0.0)))
+    eps = 1e-5
+    basis = jnp.eye(24).reshape(24, 8, 3) * eps
+    fb = jax.jit(jax.vmap(lambda dV, Va, Vb: f(Va + dV, Vb),
+                          in_axes=(0, None, None)))
+    worst = 0.0
+    for shift in (2.5, 1.5, 0.3):
+        for s in range(8):
+            rng = np.random.default_rng(s)
+            V1 = jnp.asarray(rng.normal(size=(8, 3)))
+            V2 = jnp.asarray(rng.normal(size=(8, 3))
+                             + np.array([shift, 0.1, -0.2]))
+            ga = np.asarray(gradf(V1, V2)).reshape(-1)
+            gf = np.asarray((fb(basis, V1, V2) - fb(-basis, V1, V2))
+                            / (2 * eps))
+            worst = max(worst, float(np.max(np.abs(ga - gf))))
+    # f64 FD at eps=1e-5: anything structurally wrong shows as O(0.1-1)
+    assert worst < 1e-3, worst
+
+
+def test_generic_feature_matches_fw_value_when_separated():
+    """The generic enumeration is EXACT; the FW max-separation value is a
+    conservative lower bound that should agree closely when its direction
+    set captures the contact — and never exceed the exact value by more
+    than fp noise."""
+    for s in range(10):
+        rng = np.random.default_rng(100 + s)
+        V1 = jnp.asarray(rng.normal(size=(8, 3)))
+        V2 = jnp.asarray(rng.normal(size=(8, 3)) + np.array([2.0, 0.3, 0.1]))
+        d_exact = float(G.d_convex_auto(V1, 0.0, V2, 0.0))
+        d_fw = float(G.d_convex_convex(V1, 0.0, V2, 0.0))
+        if d_exact > 0:
+            assert d_fw <= d_exact + 1e-6
+            # the 26-cover + polished-FW direction is a lower bound with
+            # O(cover resolution) slack on general hulls (~0.02 observed)
+            assert d_fw >= d_exact - 0.05

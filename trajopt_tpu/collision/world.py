@@ -62,14 +62,15 @@ _KERNELS = {
     (CAPSULE, BOX): jax.vmap(lambda A, B: G.d_capsule_box(A[0], A[1], A[2], B[0], B[1], B[2])),
     (BOX, BOX): jax.vmap(lambda A, B: G.d_box_box(A[0], A[1], A[2], B[0], B[1], B[2])),
     # support-mapping path: the sphere/capsule/box operand becomes a
-    # (possibly radius-inflated) vertex set
-    (SPHERE, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+    # (possibly radius-inflated) vertex set; small point clouds get the
+    # exact generic feature enumeration (geometry.d_convex_auto)
+    (SPHERE, CONVEX): jax.vmap(lambda A, B: G.d_convex_auto(
         A[0][None, :], A[1], B[0], B[1])),
-    (CAPSULE, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+    (CAPSULE, CONVEX): jax.vmap(lambda A, B: G.d_convex_auto(
         jnp.stack([A[0], A[1]]), A[2], B[0], B[1])),
-    (BOX, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+    (BOX, CONVEX): jax.vmap(lambda A, B: G.d_convex_auto(
         G.box_vertices(A[0], A[1], A[2]), 0.0, B[0], B[1])),
-    (CONVEX, CONVEX): jax.vmap(lambda A, B: G.d_convex_convex(
+    (CONVEX, CONVEX): jax.vmap(lambda A, B: G.d_convex_auto(
         A[0], A[1], B[0], B[1])),
 }
 
@@ -371,7 +372,9 @@ class CollisionWorld:
                 # path: two-pose capsules / spheres vs capsules / boxes)
                 d = jax.vmap(G.make_feature_distance(na, nb))(VA, rA, VB, rB)
             else:
-                d = jax.vmap(G.d_convex_convex)(VA, rA, VB, rB)
+                # unknown static topology (CONVEX meshes, rotating two-pose
+                # boxes): exact generic enumeration when small, FW fallback
+                d = jax.vmap(G.d_convex_auto)(VA, rA, VB, rB)
             # the hull distance can only be <= every substate distance;
             # keep the min in case an (FW-unconverged or fp-noise) estimate
             # comes out slightly larger than an interpolated substate

@@ -784,7 +784,8 @@ def _solve_batch_jit(spec: ProblemSpec, params: SQPParams,
 def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
                         params: SQPParams = SQPParams(),
                         phase_qp_solves: int = 8,
-                        min_bucket: int = 8) -> SQPResult:
+                        min_bucket: int = 8,
+                        mesh=None, axis_name: str = "batch") -> SQPResult:
     """Batched solve with host-side straggler compaction (multi-phase).
 
     A vmapped ``while_loop`` runs every lane until the SLOWEST lane
@@ -800,6 +801,13 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
     recurses until the bucket stops shrinking (<= ``min_bucket`` or no
     compaction possible), at which point the remaining budget runs in one
     final phase.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — each phase (including
+    the compacted straggler buckets) runs with its batch axis sharded over
+    ``axis_name`` (SPMD data parallelism, SURVEY §2.8/§5.8).  Buckets are
+    rounded up to a multiple of the mesh size so every phase shards
+    evenly; the compaction gather/scatter indexing itself is
+    device-agnostic (XLA inserts the collectives).
 
     Requires ``phase_qp_solves < params.max_iter`` so a phase-boundary
     ``SCO_ITERATION_LIMIT`` status on a lane with ``sqp_it < max_iter``
@@ -862,6 +870,26 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
                 jnp.int32(stop_code)))
         return res, True
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.devices.size
+        if batch % n_dev != 0:
+            raise ValueError(
+                f"batch {batch} must be a multiple of the mesh size {n_dev}")
+        sh = NamedSharding(mesh, PartitionSpec(axis_name))
+
+        def shard_data(d, b):
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sh)
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == b
+                else x, d)
+
+        data = shard_data(data, batch)
+    else:
+        n_dev = 1
+        shard_data = lambda d, b: d
+
     budget = min(phase_qp_solves, total_budget)
     p1 = dataclasses.replace(run_params, max_total_qp_solves=budget)
     res = _solve_batch_jit(spec, p1, data)
@@ -877,6 +905,8 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
             return res
 
         bucket = max(min_bucket, 1 << int(idx.size - 1).bit_length())
+        if mesh is not None:  # every phase must shard evenly over the mesh
+            bucket = ((bucket + n_dev - 1) // n_dev) * n_dev
         bucket = min(bucket, batch)
         remaining = total_budget - spent
         if bucket >= prev_bucket or bucket <= min_bucket:
@@ -895,6 +925,7 @@ def solve_batch_compact(spec: ProblemSpec, data: ProblemData,
                 "penalty_it": res.penalty_it[pad],
                 "it": res.sqp_it[pad],
             })
+        d2 = shard_data(d2, bucket)
         p2 = dataclasses.replace(run_params, max_total_qp_solves=budget)
         res2 = _solve_batch_jit(spec, p2, d2)
         spent += budget
