@@ -135,3 +135,43 @@ def test_sharding_overhead_at_fixed_work():
     # generous bound: this is an overhead regression guard, not a timing
     # benchmark (CI boxes are noisy)
     assert walls[2] <= 2.0 * walls[1] + 0.05, walls
+
+
+def test_weak_scaling_two_pinned_devices():
+    """VERDICT r4 item 5: an honest weak-scaling assertion.  Fixed work
+    PER device, fixed resources per device: the 1-device run is pinned to
+    one physical core, the 2-device run to two (taskset), so efficiency =
+    rate(2)/(2*rate(1)) is a true weak-scaling number rather than the
+    core-sharing artifact the round-4 fixed-total methodology produced.
+    Asserts >= 0.8 per the BASELINE north-star scaling clause (full curve
+    + oversubscribed 4/8 analysis: scripts/weak_scaling.py ->
+    SCALING_r05.json)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    import pytest
+
+    if shutil.which("taskset") is None or (os.cpu_count() or 1) < 2:
+        pytest.skip("needs taskset and >= 2 physical cores")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("JAX_PLATFORMS", None)
+    rates = {}
+    for nd, cores in ((1, "0"), (2, "0,1")):
+        cmd = ["taskset", "-c", cores, sys.executable,
+               os.path.join(repo, "scripts", "scaling_bench.py"),
+               "--cpu", "--devices", str(nd),
+               "--batch-per-device", "4", "--n-steps", "6"]
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=1800)
+        assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-1500:]
+        row = [json.loads(ln) for ln in out.stdout.splitlines()
+               if ln.startswith("{") and '"devices"' in ln
+               and '"mode"' not in ln][0]
+        assert row["converged"] == row["batch"], row
+        rates[nd] = row["solves_per_sec"]
+    eff = rates[2] / (2.0 * rates[1])
+    assert eff >= 0.8, (rates, eff)
